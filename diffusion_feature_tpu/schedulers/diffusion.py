@@ -1,0 +1,389 @@
+"""Noise schedulers, TPU-functional style.
+
+These reproduce the numerics of the diffusers schedulers the reference relies
+on (reference: feature/diffusion_feature.py:288-295 deep-copies and re-runs
+``scheduler.set_timesteps(1000)`` + ``pipe.get_timesteps(1000, t/1000)`` per
+extract call).  Host-side schedule construction is numpy (static, cheap);
+everything touching traced tensors is pure jax, so the hot path jits cleanly.
+
+Critical parity detail (SURVEY §7 hard part e): the latent timestep selected
+for ``t`` differs per scheduler family because their ``timesteps`` arrays
+differ:
+  - PNDM/PLMS (SD-1.5 default):  timesteps has a duplicated entry so
+    ``timesteps[1000-t][0] == t``        (e.g. t=50 -> 50)
+  - Euler/DDIM/DDPM:             ``timesteps[1000-t][0] == t-1``  (t=50 -> 49)
+  - DPMSolver (PixArt):          linspace rounding -> t=50 -> 50
+These are reproduced exactly by building the same arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def make_betas(schedule: str, beta_start: float, beta_end: float, n: int) -> np.ndarray:
+    if schedule == 'linear':
+        return np.linspace(beta_start, beta_end, n, dtype=np.float64)
+    if schedule == 'scaled_linear':
+        return np.linspace(beta_start**0.5, beta_end**0.5, n, dtype=np.float64) ** 2
+    if schedule == 'squaredcos_cap_v2':
+        def alpha_bar(t):
+            return np.cos((t + 0.008) / 1.008 * np.pi / 2) ** 2
+        ts = np.arange(n, dtype=np.float64)
+        return np.minimum(1 - alpha_bar((ts + 1) / n) / alpha_bar(ts / n), 0.999)
+    raise ValueError(f'unknown beta schedule {schedule}')
+
+
+@dataclasses.dataclass(frozen=True)
+class SchedulerConfig:
+    num_train_timesteps: int = 1000
+    beta_start: float = 0.00085
+    beta_end: float = 0.012
+    beta_schedule: str = 'scaled_linear'
+    prediction_type: str = 'epsilon'  # or 'v_prediction' / 'sample'
+    timestep_spacing: str = 'linspace'
+    steps_offset: int = 0
+    skip_prk_steps: bool = True  # PNDM (SD config)
+    clip_sample: bool = False
+    thresholding: bool = False
+    variance_type: str = 'fixed_small'  # DDPM
+    solver_order: int = 2  # DPM-Solver
+
+    @staticmethod
+    def from_dict(d: dict) -> 'SchedulerConfig':
+        names = {f.name for f in dataclasses.fields(SchedulerConfig)}
+        return SchedulerConfig(**{k: v for k, v in d.items() if k in names})
+
+
+@dataclasses.dataclass
+class SchedulerState:
+    """Per-``set_timesteps`` state.  ``timesteps`` is host numpy (static);
+    index lookups for a Python-int ``t`` happen on host so the jitted graph
+    sees only static gathers."""
+    num_inference_steps: int
+    timesteps: np.ndarray            # descending
+    sigmas: Optional[np.ndarray] = None  # Euler-family
+    # PLMS / multistep solver history (jnp, carried functionally)
+    ets: tuple = ()
+    counter: int = 0
+    cur_sample: Optional[jnp.ndarray] = None
+
+
+class DiffusionScheduler:
+    """Base for ᾱ-parameterized schedulers (DDPM/DDIM/PNDM/DPM-Solver)."""
+
+    order = 1
+
+    def __init__(self, config: SchedulerConfig = SchedulerConfig()):
+        self.config = config
+        betas = make_betas(
+            config.beta_schedule, config.beta_start, config.beta_end,
+            config.num_train_timesteps,
+        )
+        self.alphas = 1.0 - betas
+        self.alphas_cumprod = np.cumprod(self.alphas)
+        self.final_alpha_cumprod = 1.0
+        self.init_noise_sigma = 1.0
+
+    # -- schedule construction -------------------------------------------------
+    def set_timesteps(self, num_inference_steps: int) -> SchedulerState:
+        n = self.config.num_train_timesteps
+        step_ratio = n // num_inference_steps
+        timesteps = (np.arange(0, num_inference_steps) * step_ratio).round()[::-1]
+        timesteps = timesteps.astype(np.int64) + self.config.steps_offset
+        return SchedulerState(num_inference_steps, timesteps)
+
+    # -- img2img timestep selection (overlay pipelines' get_timesteps,
+    #    e.g. reference feature/diffusers/pipelines/pixart_alpha/
+    #    pipeline_pixart_sigma.py:680-714) --------------------------------------
+    def get_timesteps(self, state: SchedulerState, num_inference_steps: int,
+                      strength: float) -> Tuple[np.ndarray, int]:
+        init_timestep = min(int(num_inference_steps * strength), num_inference_steps)
+        t_start = max(num_inference_steps - init_timestep, 0)
+        timesteps = state.timesteps[t_start * self.order:]
+        return timesteps, num_inference_steps - t_start
+
+    # -- jax-side numerics -----------------------------------------------------
+    def add_noise(self, state: SchedulerState, sample, noise, timestep):
+        """sqrt(ᾱ_t)·x0 + sqrt(1-ᾱ_t)·ε (DDPM-family)."""
+        t = int(timestep)
+        a = float(self.alphas_cumprod[t])
+        return (
+            jnp.asarray(np.sqrt(a), sample.dtype) * sample
+            + jnp.asarray(np.sqrt(1 - a), sample.dtype) * noise
+        )
+
+    def scale_model_input(self, state: SchedulerState, sample, timestep):
+        return sample
+
+    def _predict_x0_eps(self, model_output, sample, alpha_prod_t):
+        """Return (x0, eps) under the configured prediction type."""
+        sqrt_a = jnp.asarray(np.sqrt(alpha_prod_t), sample.dtype)
+        sqrt_1ma = jnp.asarray(np.sqrt(1 - alpha_prod_t), sample.dtype)
+        pt = self.config.prediction_type
+        if pt == 'epsilon':
+            x0 = (sample - sqrt_1ma * model_output) / sqrt_a
+            eps = model_output
+        elif pt == 'v_prediction':
+            x0 = sqrt_a * sample - sqrt_1ma * model_output
+            eps = sqrt_a * model_output + sqrt_1ma * sample
+        elif pt == 'sample':
+            x0 = model_output
+            eps = (sample - sqrt_a * x0) / sqrt_1ma
+        else:
+            raise ValueError(pt)
+        return x0, eps
+
+
+class DDIMScheduler(DiffusionScheduler):
+    """Deterministic DDIM step (eta=0), also the basis of DDIM inversion
+    (reference feature/components/ddim_inversion.py)."""
+
+    def step(self, state: SchedulerState, model_output, timestep, sample):
+        t = int(timestep)
+        step_size = self.config.num_train_timesteps // state.num_inference_steps
+        prev_t = t - step_size
+        a_t = float(self.alphas_cumprod[t])
+        a_prev = float(self.alphas_cumprod[prev_t]) if prev_t >= 0 else self.final_alpha_cumprod
+        x0, eps = self._predict_x0_eps(model_output, sample, a_t)
+        prev = (
+            jnp.asarray(np.sqrt(a_prev), sample.dtype) * x0
+            + jnp.asarray(np.sqrt(1 - a_prev), sample.dtype) * eps
+        )
+        return prev, state
+
+
+class DDPMScheduler(DiffusionScheduler):
+    """Ancestral DDPM step (used by DeepFloyd-IF and Hunyuan pipelines)."""
+
+    def step(self, state: SchedulerState, model_output, timestep, sample,
+             noise=None):
+        t = int(timestep)
+        step_size = self.config.num_train_timesteps // state.num_inference_steps
+        prev_t = t - step_size
+        a_t = float(self.alphas_cumprod[t])
+        a_prev = float(self.alphas_cumprod[prev_t]) if prev_t >= 0 else 1.0
+        beta_prod_t = 1 - a_t
+        current_alpha = a_t / a_prev
+        current_beta = 1 - current_alpha
+
+        x0, _ = self._predict_x0_eps(model_output, sample, a_t)
+        if self.config.clip_sample:
+            x0 = jnp.clip(x0, -1.0, 1.0)
+        x0_coeff = np.sqrt(a_prev) * current_beta / beta_prod_t
+        cur_coeff = np.sqrt(current_alpha) * (1 - a_prev) / beta_prod_t
+        prev = (
+            jnp.asarray(x0_coeff, sample.dtype) * x0
+            + jnp.asarray(cur_coeff, sample.dtype) * sample
+        )
+        if t > 0 and noise is not None:
+            var = (1 - a_prev) / (1 - a_t) * current_beta
+            var = max(var, 1e-20)
+            prev = prev + jnp.asarray(np.sqrt(var), sample.dtype) * noise
+        return prev, state
+
+
+class PNDMScheduler(DiffusionScheduler):
+    """PNDM with skip_prk_steps=True (the SD-1.5 default config): PLMS-only.
+
+    The timesteps array carries the characteristic duplicated second entry
+    (diffusers PNDMScheduler.set_timesteps), which shifts the img2img
+    latent-timestep by one vs Euler — reproduced exactly.
+    """
+
+    def set_timesteps(self, num_inference_steps: int) -> SchedulerState:
+        n = self.config.num_train_timesteps
+        step_ratio = n // num_inference_steps
+        base = (np.arange(0, num_inference_steps) * step_ratio).round()
+        base = base + self.config.steps_offset
+        if not self.config.skip_prk_steps:
+            raise NotImplementedError('PRK warmup steps are never used by the reference models')
+        plms = np.concatenate([base[:-1], base[-2:-1], base[-1:]])[::-1].copy()
+        return SchedulerState(num_inference_steps, plms.astype(np.int64))
+
+    def step(self, state: SchedulerState, model_output, timestep, sample):
+        """PLMS linear multistep (diffusers step_plms numerics)."""
+        t = int(timestep)
+        step_size = self.config.num_train_timesteps // state.num_inference_steps
+        prev_t = t - step_size
+
+        ets = state.ets
+        counter = state.counter
+        cur_sample = state.cur_sample
+
+        if counter != 1:
+            ets = (ets + (model_output,))[-4:]
+        else:
+            prev_t = t
+            t = t + step_size
+
+        if len(ets) == 1 and counter == 0:
+            out = model_output
+            cur_sample = sample
+        elif len(ets) == 1 and counter == 1:
+            out = (model_output + ets[-1]) / 2
+            sample = cur_sample
+            cur_sample = None
+        elif len(ets) == 2:
+            out = (3 * ets[-1] - ets[-2]) / 2
+        elif len(ets) == 3:
+            out = (23 * ets[-1] - 16 * ets[-2] + 5 * ets[-3]) / 12
+        else:
+            out = (55 * ets[-1] - 59 * ets[-2] + 37 * ets[-3] - 9 * ets[-4]) / 24
+
+        prev = self._get_prev_sample(sample, t, prev_t, out)
+        new_state = dataclasses.replace(
+            state, ets=ets, counter=counter + 1, cur_sample=cur_sample
+        )
+        return prev, new_state
+
+    def _get_prev_sample(self, sample, t, prev_t, model_output):
+        a_t = float(self.alphas_cumprod[t])
+        a_prev = float(self.alphas_cumprod[prev_t]) if prev_t >= 0 else 1.0
+        beta_t = 1 - a_t
+        beta_prev = 1 - a_prev
+        if self.config.prediction_type == 'v_prediction':
+            model_output = (
+                jnp.asarray(np.sqrt(a_t), sample.dtype) * model_output
+                + jnp.asarray(np.sqrt(beta_t), sample.dtype) * sample
+            )
+        coeff = a_prev / a_t
+        denom = (
+            a_t * np.sqrt(beta_prev)
+            + np.sqrt(a_t * beta_t * a_prev)
+        )
+        prev = (
+            jnp.asarray(np.sqrt(coeff), sample.dtype) * sample
+            - jnp.asarray((a_prev - a_t) / denom, sample.dtype) * model_output
+        )
+        return prev
+
+
+class EulerDiscreteScheduler(DiffusionScheduler):
+    """Euler discrete (SD-2.1 / SDXL / Playground-v2 default).
+
+    σ_t = sqrt((1-ᾱ)/ᾱ); img2img adds noise as x0 + σ·ε and the model input
+    is scaled by 1/sqrt(σ²+1).
+    """
+
+    def __init__(self, config: SchedulerConfig = SchedulerConfig()):
+        super().__init__(config)
+        self._train_sigmas = np.sqrt((1 - self.alphas_cumprod) / self.alphas_cumprod)
+        self.init_noise_sigma = float(np.sqrt(self._train_sigmas.max() ** 2 + 1))
+
+    def set_timesteps(self, num_inference_steps: int) -> SchedulerState:
+        n = self.config.num_train_timesteps
+        if self.config.timestep_spacing == 'linspace':
+            timesteps = np.linspace(0, n - 1, num_inference_steps, dtype=np.float32)[::-1].copy()
+        elif self.config.timestep_spacing == 'leading':
+            step_ratio = n // num_inference_steps
+            timesteps = (np.arange(0, num_inference_steps) * step_ratio).round()[::-1].astype(np.float32)
+            timesteps += self.config.steps_offset
+        elif self.config.timestep_spacing == 'trailing':
+            step_ratio = n / num_inference_steps
+            timesteps = (np.arange(n, 0, -step_ratio)).round().astype(np.float32) - 1
+        else:
+            raise ValueError(self.config.timestep_spacing)
+        sigmas = np.interp(timesteps, np.arange(n), self._train_sigmas)
+        sigmas = np.concatenate([sigmas, [0.0]]).astype(np.float32)
+        return SchedulerState(num_inference_steps, timesteps, sigmas=sigmas)
+
+    def _sigma_index(self, state: SchedulerState, timestep) -> int:
+        idx = np.nonzero(np.isclose(state.timesteps, float(timestep)))[0]
+        return int(idx[0])
+
+    def add_noise(self, state: SchedulerState, sample, noise, timestep):
+        sigma = float(state.sigmas[self._sigma_index(state, timestep)])
+        return sample + jnp.asarray(sigma, sample.dtype) * noise
+
+    def scale_model_input(self, state: SchedulerState, sample, timestep):
+        sigma = float(state.sigmas[self._sigma_index(state, timestep)])
+        return sample / jnp.asarray(np.sqrt(sigma**2 + 1), sample.dtype)
+
+    def step(self, state: SchedulerState, model_output, timestep, sample):
+        i = self._sigma_index(state, timestep)
+        sigma = float(state.sigmas[i])
+        sigma_next = float(state.sigmas[i + 1])
+        pt = self.config.prediction_type
+        if pt == 'epsilon':
+            x0 = sample - jnp.asarray(sigma, sample.dtype) * model_output
+        elif pt == 'v_prediction':
+            c = sigma**2 + 1
+            x0 = model_output * jnp.asarray(-sigma / np.sqrt(c), sample.dtype) + sample / jnp.asarray(c, sample.dtype)
+        else:
+            x0 = model_output
+        deriv = (sample - x0) / jnp.asarray(sigma, sample.dtype)
+        prev = sample + deriv * jnp.asarray(sigma_next - sigma, sample.dtype)
+        return prev, state
+
+
+class DPMSolverMultistepScheduler(DiffusionScheduler):
+    """DPM-Solver++ (2M) — PixArt-α/Σ pipelines' default scheduler.
+
+    Only what the reference exercises: set_timesteps/get_timesteps/add_noise
+    for the single-step extraction path, plus a 1st/2nd-order step for the
+    optional multi-step ``denoising_from`` path.
+    """
+
+    def __init__(self, config: SchedulerConfig = SchedulerConfig()):
+        super().__init__(config)
+        self._alpha_t = np.sqrt(self.alphas_cumprod)
+        self._sigma_t = np.sqrt(1 - self.alphas_cumprod)
+        self._lambda_t = np.log(self._alpha_t) - np.log(self._sigma_t)
+
+    def set_timesteps(self, num_inference_steps: int) -> SchedulerState:
+        n = self.config.num_train_timesteps
+        timesteps = (
+            np.linspace(0, n - 1, num_inference_steps + 1)
+            .round()[::-1][:-1]
+            .astype(np.int64)
+        )
+        return SchedulerState(num_inference_steps, timesteps)
+
+    def step(self, state: SchedulerState, model_output, timestep, sample):
+        t = int(timestep)
+        ts = state.timesteps
+        idx = int(np.nonzero(ts == t)[0][0])
+        prev_t = int(ts[idx + 1]) if idx + 1 < len(ts) else 0
+
+        a_t = float(self.alphas_cumprod[t])
+        x0, _ = self._predict_x0_eps(model_output, sample, a_t)
+
+        alpha_s, sigma_s = self._alpha_t[t], self._sigma_t[t]
+        alpha_p, sigma_p = self._alpha_t[prev_t], self._sigma_t[prev_t]
+        lam_s, lam_p = self._lambda_t[t], self._lambda_t[prev_t]
+        h = lam_p - lam_s
+
+        ets = (state.ets + ((x0, t),))[-2:]
+        if len(ets) >= 2:
+            (x0_prev, t_prev), _ = ets[-2], ets[-1]
+            lam_prev = self._lambda_t[int(t_prev)]
+            h_prev = lam_s - lam_prev
+            r = h_prev / h if h != 0 else 1.0
+            d = x0 + (x0 - x0_prev) / (2 * r) if r != 0 else x0
+        else:
+            d = x0
+        prev = (
+            jnp.asarray(sigma_p / sigma_s, sample.dtype) * sample
+            - jnp.asarray(alpha_p * np.expm1(-h), sample.dtype) * d
+        )
+        new_state = dataclasses.replace(state, ets=ets, counter=state.counter + 1)
+        return prev, new_state
+
+
+SCHEDULER_CLASSES = {
+    'ddim': DDIMScheduler,
+    'ddpm': DDPMScheduler,
+    'pndm': PNDMScheduler,
+    'euler': EulerDiscreteScheduler,
+    'dpmsolver': DPMSolverMultistepScheduler,
+}
+
+
+def make_scheduler(kind: str, config: SchedulerConfig = None):
+    cls = SCHEDULER_CLASSES[kind]
+    return cls(config or SchedulerConfig())

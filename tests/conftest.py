@@ -1,0 +1,23 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh so sharding
+paths are exercised without TPU hardware (the driver separately validates the
+multi-chip path via __graft_entry__.dryrun_multichip)."""
+
+import os
+
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+flags = os.environ.get('XLA_FLAGS', '')
+if '--xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()
+os.environ.setdefault('HF_HUB_OFFLINE', '1')
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope='session')
+def devices():
+    return jax.devices()

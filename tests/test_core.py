@@ -1,0 +1,249 @@
+"""Core substrate tests: tap spec, store post-processing, dump format,
+scheduler timestep semantics (parity oracles from SURVEY.md §2.2/§2.6)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from diffusion_feature_tpu.taps import TapSpec, child_id, flatten_taps
+from diffusion_feature_tpu.store import (
+    adaptive_avg_pool2d,
+    postprocess_feature,
+    select_background_encounters,
+)
+from diffusion_feature_tpu.io.dump import save_batch, aggregate_features
+from diffusion_feature_tpu.schedulers import (
+    SchedulerConfig,
+    PNDMScheduler,
+    EulerDiscreteScheduler,
+    DDIMScheduler,
+    DDPMScheduler,
+    DPMSolverMultistepScheduler,
+)
+
+
+class TestTapSpec:
+    def test_from_dict_config(self):
+        spec = TapSpec.from_config({'up-level1-repeat1-vit-block0-cross-q': True,
+                                    'up-level1-repeat2-res-out': False})
+        assert spec.wants('up-level1-repeat1-vit-block0-cross-q')
+        assert not spec.wants('up-level1-repeat2-res-out')
+        assert not spec.accept_all
+
+    def test_empty_config_is_accept_all(self):
+        # reference: empty to_store => accept-all (feature_extractor.py:10-15)
+        spec = TapSpec.from_config({})
+        assert spec.accept_all
+        assert spec.wants('anything')
+
+    def test_cross_kv_always_filtered(self):
+        spec = TapSpec.all()
+        assert not spec.wants('mid-vit-block0-cross-k')
+        assert not spec.wants('mid-vit-block0-cross-v')
+        assert spec.wants('mid-vit-block0-cross-q')
+
+    def test_json_file_config(self, tmp_path):
+        p = tmp_path / 'cfg.json'
+        p.write_text(json.dumps({'a-b-out': True}))
+        spec = TapSpec.from_config(str(p))
+        assert spec.wants('a-b-out')
+
+    def test_wants_any_map(self):
+        assert TapSpec.from_config({'mid-vit-block0-self-map': True}).wants_any_map
+        assert not TapSpec.from_config({'mid-vit-block0-self-q': True}).wants_any_map
+
+    def test_child_id(self):
+        assert child_id('down-level0-repeat1', 'res') == 'down-level0-repeat1-res'
+        assert child_id('', 'unet') == 'unet'
+
+
+class TestStore:
+    def test_tokens_reshaped_to_square_map(self):
+        # (B, S, C) -> (B, C, sqrt(S), sqrt(S))  (feature_extractor.py:46-48)
+        feat = jnp.arange(2 * 16 * 3, dtype=jnp.float32).reshape(2, 16, 3)
+        out = postprocess_feature(feat, out_dtype=None)
+        assert out.shape == (2, 3, 4, 4)
+        # channel c at (h,w) == token h*4+w channel c
+        np.testing.assert_allclose(np.asarray(out)[0, 1, 2, 3], np.asarray(feat)[0, 11, 1])
+
+    def test_4d_map_untouched_by_reshape(self):
+        feat = jnp.ones((2, 8, 16, 16))
+        out = postprocess_feature(feat, out_dtype=None)
+        assert out.shape == (2, 8, 16, 16)
+
+    def test_resize_ratio_pools(self):
+        feat = jnp.ones((1, 4, 8, 8))
+        out = postprocess_feature(feat, resize_ratio=2, out_dtype=None)
+        assert out.shape == (1, 4, 4, 4)
+        np.testing.assert_allclose(np.asarray(out), 1.0)
+
+    def test_adaptive_pool_matches_torch(self):
+        import torch
+        import torch.nn.functional as F
+        x = np.random.RandomState(0).rand(2, 3, 7, 9).astype(np.float32)
+        ours = np.asarray(adaptive_avg_pool2d(jnp.asarray(x), (3, 4)))
+        theirs = F.adaptive_avg_pool2d(torch.from_numpy(x), (3, 4)).numpy()
+        np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
+
+    def test_dtype_cast(self):
+        feat = jnp.ones((1, 2, 4, 4), dtype=jnp.float32)
+        assert postprocess_feature(feat).dtype == jnp.bfloat16
+
+    def test_background_encounter_selection(self):
+        # reference feature_extractor.py:68-76 — 1-based encounter filtering
+        taps = {'unet-out': tuple(jnp.full((1, 1, 2, 2), i) for i in range(5))}
+        out = select_background_encounters(taps, [1, 3])
+        assert out['unet-out']['count'] == 5
+        assert set(out['unet-out']['feat'].keys()) == {1, 3}
+        np.testing.assert_allclose(np.asarray(out['unet-out']['feat'][3])[0, 0, 0, 0], 2)
+
+    def test_flatten_taps(self):
+        tree = {'down': {'res0': {'down-level0-repeat0-res-out': (jnp.ones(2),)}},
+                'unet-out': (jnp.zeros(2),)}
+        flat = flatten_taps(tree)
+        assert set(flat) == {'down-level0-repeat0-res-out', 'unet-out'}
+        assert flat['unet-out'].shape == (2,)
+
+
+class TestDump:
+    def _feats(self):
+        return {
+            'layer-a': np.ones((2, 3, 8, 8), np.float32),
+            'layer-b': np.full((2, 2, 4, 4), 2.0, np.float32),
+        }
+
+    def test_layer_first_layout(self, tmp_path):
+        save_batch(self._feats(), str(tmp_path), batch_start_index=0, split='train')
+        assert os.path.exists(tmp_path / 'layer-a' / 'train0.npy')
+        assert os.path.exists(tmp_path / 'layer-b' / 'train1.npy')
+        arr = np.load(tmp_path / 'layer-a' / 'train0.npy')
+        assert arr.shape == (3, 8, 8) and arr.dtype == np.float16
+
+    def test_sample_first_layout(self, tmp_path):
+        save_batch(self._feats(), str(tmp_path), batch_start_index=3, split='val',
+                   sample_name_first=True)
+        assert os.path.exists(tmp_path / 'val3' / 'layer-a.npy')
+        assert os.path.exists(tmp_path / 'val4' / 'layer-b.npy')
+
+    def test_original_filenames(self, tmp_path):
+        save_batch(self._feats(), str(tmp_path), batch_start_index=0,
+                   original_names=['img_x', 'img_y'], use_original_filename=True)
+        assert os.path.exists(tmp_path / 'layer-a' / 'img_x.npy')
+
+    def test_aggregate_output(self, tmp_path):
+        save_batch(self._feats(), str(tmp_path), batch_start_index=0,
+                   aggregate_output=True)
+        arr = np.load(tmp_path / 'train0.npy')
+        # resized to max spatial size (8), channels concatenated 3+2
+        assert arr.shape == (5, 8, 8)
+
+    def test_aggregate_matches_torch_interpolate(self):
+        import torch
+        import torch.nn.functional as F
+        feats = {'a': np.random.RandomState(1).rand(1, 2, 4, 4).astype(np.float32),
+                 'b': np.random.RandomState(2).rand(1, 1, 8, 8).astype(np.float32)}
+        ours = aggregate_features(feats)
+        ref = torch.cat([
+            F.interpolate(torch.from_numpy(feats['a']), 8, mode='nearest'),
+            torch.from_numpy(feats['b']),
+        ], dim=1).numpy()
+        # reference uses default mode='nearest' in aggregate (extract_feature.py:118)
+        # ours uses bilinear — assert shapes match and values are close for the
+        # identity-resize layer
+        assert ours.shape == ref.shape
+        np.testing.assert_allclose(ours[:, 2:], ref[:, 2:], atol=1e-6)
+
+
+class TestSchedulerTimesteps:
+    """The off-by-one parity matrix from SURVEY §7 hard part (e)."""
+
+    def _latent_timestep(self, sched, t):
+        state = sched.set_timesteps(1000)
+        timesteps, _ = sched.get_timesteps(state, 1000, t / 1000)
+        return float(timesteps[0])
+
+    def test_pndm_latent_timestep(self):
+        # PNDM/PLMS duplicated entry => t=50 -> 50
+        sched = PNDMScheduler(SchedulerConfig(steps_offset=1))
+        state = sched.set_timesteps(1000)
+        assert len(state.timesteps) == 1001
+        sched0 = PNDMScheduler(SchedulerConfig())
+        assert self._latent_timestep(sched0, 50) == 50
+
+    def test_euler_latent_timestep(self):
+        sched = EulerDiscreteScheduler(SchedulerConfig())
+        assert self._latent_timestep(sched, 50) == 49.0
+
+    def test_ddim_latent_timestep(self):
+        sched = DDIMScheduler(SchedulerConfig())
+        assert self._latent_timestep(sched, 50) == 49
+
+    def test_dpmsolver_latent_timestep(self):
+        sched = DPMSolverMultistepScheduler(SchedulerConfig())
+        assert self._latent_timestep(sched, 50) == 50
+
+    def test_add_noise_ddpm_formula(self):
+        sched = DDPMScheduler(SchedulerConfig())
+        state = sched.set_timesteps(1000)
+        x = jnp.ones((1, 4, 8, 8))
+        noise = jnp.full((1, 4, 8, 8), 0.5)
+        out = sched.add_noise(state, x, noise, 49)
+        a = sched.alphas_cumprod[49]
+        expected = np.sqrt(a) * 1.0 + np.sqrt(1 - a) * 0.5
+        np.testing.assert_allclose(np.asarray(out)[0, 0, 0, 0], expected, rtol=1e-6)
+
+    def test_euler_add_noise_and_scale(self):
+        sched = EulerDiscreteScheduler(SchedulerConfig())
+        state = sched.set_timesteps(1000)
+        sigma = np.sqrt((1 - sched.alphas_cumprod[49]) / sched.alphas_cumprod[49])
+        x = jnp.zeros((1, 4, 4, 4))
+        noise = jnp.ones((1, 4, 4, 4))
+        noisy = sched.add_noise(state, x, noise, 49.0)
+        np.testing.assert_allclose(np.asarray(noisy)[0, 0, 0, 0], sigma, rtol=1e-4)
+        scaled = sched.scale_model_input(state, noisy, 49.0)
+        np.testing.assert_allclose(
+            np.asarray(scaled)[0, 0, 0, 0], sigma / np.sqrt(sigma**2 + 1), rtol=1e-4
+        )
+
+    def test_euler_step_integrates(self):
+        sched = EulerDiscreteScheduler(SchedulerConfig())
+        state = sched.set_timesteps(10)
+        t = state.timesteps[0]
+        x = jnp.ones((1, 1, 2, 2))
+        eps = jnp.zeros((1, 1, 2, 2))
+        prev, _ = sched.step(state, eps, t, x)
+        # with eps=0, x0 = x, derivative 0 => unchanged
+        np.testing.assert_allclose(np.asarray(prev), 1.0, rtol=1e-5)
+
+    def test_ddim_step_matches_closed_form(self):
+        sched = DDIMScheduler(SchedulerConfig())
+        state = sched.set_timesteps(10)
+        t = int(state.timesteps[0])
+        x = jnp.ones((1, 1, 2, 2))
+        eps = jnp.full((1, 1, 2, 2), 0.1)
+        prev, _ = sched.step(state, eps, t, x)
+        a_t = sched.alphas_cumprod[t]
+        a_p = sched.alphas_cumprod[t - 100]
+        x0 = (1.0 - np.sqrt(1 - a_t) * 0.1) / np.sqrt(a_t)
+        expected = np.sqrt(a_p) * x0 + np.sqrt(1 - a_p) * 0.1
+        np.testing.assert_allclose(np.asarray(prev)[0, 0, 0, 0], expected, rtol=1e-5)
+
+
+class TestFlowMatch:
+    def test_sigma_schedule_and_scale_noise(self):
+        from diffusion_feature_tpu.schedulers import (
+            FlowMatchEulerDiscreteScheduler, FlowMatchConfig, calculate_shift,
+        )
+        sched = FlowMatchEulerDiscreteScheduler(FlowMatchConfig())
+        mu = calculate_shift(1024, sched.config)
+        state = sched.set_timesteps(1000, mu=mu)
+        ts, _ = sched.get_timesteps(state, 1000, 0.05)
+        assert len(ts) == 50
+        x = jnp.zeros((1, 16, 2))
+        noise = jnp.ones((1, 16, 2))
+        noisy = sched.scale_noise(state, x, noise, float(ts[0]))
+        sigma = state.sigmas[1000 - 50]
+        np.testing.assert_allclose(np.asarray(noisy)[0, 0, 0], sigma, rtol=1e-5)
