@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Headline benchmark: SDXL-architecture multi-layer feature extraction
+throughput (img/s/chip) at 512², the driver's north-star metric
+(BASELINE.json: >=8 img/s/chip on v5e).
+
+Measures the full hot path — VAE encode, posterior sample, noise injection,
+single U-Net forward with the Ours-XL tap set, feature post-processing — as
+one jitted program, steady-state (post-compile), on whatever backend is
+available.  Prints ONE JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from diffusion_feature_tpu.models.unet2d import UNet2DConditionModel, SDXL_UNET
+    from diffusion_feature_tpu.models.vae import AutoencoderKL, SDXL_VAE
+    from diffusion_feature_tpu.taps import TapSpec, flatten_taps
+    from diffusion_feature_tpu.store import postprocess_taps
+    from diffusion_feature_tpu.schedulers import EulerDiscreteScheduler
+    from diffusion_feature_tpu.models.registry import XL_SCHED
+
+    on_tpu = jax.devices()[0].platform == 'tpu'
+    img_size = 512
+    batch = int(os.environ.get('BENCH_BATCH', '8' if on_tpu else '1'))
+    dtype = jnp.bfloat16
+
+    # Ours-XL practical tap set (reference configs/config_xl_practical.json)
+    taps = TapSpec.from_config({
+        'up-level0-repeat0-vit-block7-out': True,
+        'up-level0-repeat0-vit-block5-out': True,
+        'up-level1-repeat0-vit-block0-cross-q': True,
+        'up-level1-repeat0-vit-block0-out': True,
+    })
+    unet = UNet2DConditionModel(cfg=SDXL_UNET, dtype=dtype, taps=taps)
+    vae = AutoencoderKL(cfg=SDXL_VAE, dtype=dtype)
+    sched = EulerDiscreteScheduler(XL_SCHED)
+    state = sched.set_timesteps(1000)
+    timesteps, _ = sched.get_timesteps(state, 1000, 50 / 1000)
+    latent_t = timesteps[0]
+
+    lat = img_size // 8
+    rng = jax.random.PRNGKey(0)
+    sample_img = jnp.zeros((1, 3, img_size, img_size), dtype)
+    ctx1 = jnp.zeros((1, 77, 2048), dtype)
+
+    import jax.tree_util
+    unet_params = UNet2DConditionModel(cfg=SDXL_UNET, dtype=dtype).init(
+        rng, jnp.zeros((1, 4, lat, lat), dtype), 50, ctx1,
+        {'text_embeds': jnp.zeros((1, 1280), dtype),
+         'time_ids': jnp.zeros((1, 6), dtype)})['params']
+    vae_params = vae.init(rng, sample_img, method=AutoencoderKL.full_pass)['params']
+    # store weights in bf16: halves HBM traffic, and params must be jit
+    # *arguments* (not closure constants) or they get baked into the graph
+    to_bf16 = lambda t: jax.tree.map(
+        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, t)
+    unet_params = to_bf16(unet_params)
+    vae_params = to_bf16(vae_params)
+
+    def step(unet_params, vae_params, img, ctx, pooled, time_ids, noise_rng):
+        r1, r2 = jax.random.split(noise_rng)
+        latents = vae.apply({'params': vae_params}, img, r1)
+        noise = jax.random.normal(r2, latents.shape, latents.dtype)
+        latents = sched.add_noise(state, latents, noise, latent_t)
+        lat_in = sched.scale_model_input(state, latents, latent_t)
+        _, tap_state = unet.apply(
+            {'params': unet_params}, lat_in, float(latent_t), ctx,
+            {'text_embeds': pooled, 'time_ids': time_ids}, mutable=['taps'])
+        return postprocess_taps(flatten_taps(tap_state['taps']))
+
+    fstep = jax.jit(step)
+
+    img = jax.random.uniform(rng, (batch, 3, img_size, img_size), dtype) * 2 - 1
+    ctx = jnp.ones((batch, 77, 2048), dtype)
+    pooled = jnp.ones((batch, 1280), dtype)
+    time_ids = jnp.tile(jnp.asarray(
+        [[img_size, img_size, 0, 0, img_size, img_size]], dtype), (batch, 1))
+
+    # warmup/compile
+    out = fstep(unet_params, vae_params, img, ctx, pooled, time_ids,
+                jax.random.PRNGKey(1))
+    jax.block_until_ready(out)
+
+    iters = 10 if on_tpu else 2
+    start = time.perf_counter()
+    for i in range(iters):
+        out = fstep(unet_params, vae_params, img, ctx, pooled, time_ids,
+                    jax.random.PRNGKey(i))
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - start
+
+    img_per_s = batch * iters / dt
+    baseline = 8.0  # img/s/chip north star (BASELINE.json)
+    print(json.dumps({
+        'metric': 'sdxl_512_feature_extraction_throughput',
+        'value': round(img_per_s, 3),
+        'unit': 'img/s/chip',
+        'vs_baseline': round(img_per_s / baseline, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

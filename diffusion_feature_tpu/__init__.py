@@ -8,3 +8,4 @@ Public API mirrors the reference's installable ``diffusion_feature`` package
 __version__ = '0.1.0'
 
 from .taps import TapSpec
+from .facade import FeatureExtractor  # noqa: E402,F401

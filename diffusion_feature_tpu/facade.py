@@ -1,0 +1,547 @@
+"""FeatureExtractor — the public facade, mirroring the reference's
+``diffusion_feature.FeatureExtractor`` (feature/diffusion_feature.py:26-517).
+
+TPU-native design: one extract() call compiles to ONE jitted XLA program —
+VAE encode -> posterior sample -> scheduler noise injection -> single
+U-Net/DiT forward with taps compiled in -> per-tap post-processing — cached
+per (t, batch, image size, layer set).  There are no hooks and no Python in
+the hot loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .taps import TapSpec, flatten_taps
+from .store import postprocess_taps, select_background_encounters
+from .ops.resize import interpolate_bilinear_nchw
+from .models.registry import ModelSpec, get_model_spec
+from .models.unet2d import UNet2DConditionModel
+from .models.vae import AutoencoderKL
+from .models.clip_text import CLIPTextModel
+from .models.convert import (
+    convert_torch_state, load_component_state,
+)
+from .schedulers import make_scheduler
+from .tokenizers.clip_bpe import load_clip_tokenizer
+from .utils.prompt import encode_long_prompt
+from .io.images import preprocess_pil_batch, resize_tensor_batch
+
+
+_DTYPES = {'bfloat16': jnp.bfloat16, 'float16': jnp.float16,
+           'float32': jnp.float32}
+
+
+class FeatureExtractor:
+    """Public API parity with the reference facade: ``encode_prompt``,
+    ``offload_prompt_encoder``, ``preprocess_image``, ``extract``,
+    ``set_background_extraction`` / ``get_background_extraction``.
+
+    Additional TPU-specific knobs:
+      weights:  local diffusers-format checkpoint dir (zero-egress env);
+                None -> deterministic random init.
+      mesh:     optional jax.sharding.Mesh for data-parallel batch sharding.
+    """
+
+    def __init__(
+        self,
+        layer,                     # layer JSON path / dict / None (show-all)
+        version: str,
+        device=None,               # accepted for API parity; placement is XLA's
+        dtype: str = 'bfloat16',
+        img_size: int = 1024,
+        offline_lora: Optional[str] = None,
+        offline_lora_filename: Optional[str] = None,
+        feature_resize: int = 1,
+        control=None,
+        attention: Optional[Sequence[str]] = None,
+        train_unet: bool = False,
+        external_model=None,
+        weights: Optional[str] = None,
+        mesh=None,
+        seed: int = 0,
+        attn_store_sizes=None,   # override the size band (tests/tiny models)
+    ):
+        self.spec: ModelSpec = get_model_spec(version)
+        self.version = version
+        self.img_size = img_size
+        self.feature_resize = feature_resize
+        self.attention = list(attention) if attention else None
+        self.train_unet = train_unet
+        self.control = control
+        self.mesh = mesh
+        self.dtype = _DTYPES[dtype]
+        # features keep full precision when the U-Net is being trained
+        # (reference FeatureStore skips the fp16 cast, feature_extractor.py:59-64)
+        self.feature_dtype = None if train_unet else jnp.bfloat16
+
+        self.taps = TapSpec.from_config(layer)
+        self.store_vae_output = (not self.taps.accept_all) and 'vae-out' in self.taps.ids
+
+        # attention-store size band (reference components/attention.py:542, :569)
+        if self.attention:
+            if attn_store_sizes is not None:
+                self._attn_sizes = tuple(attn_store_sizes)
+            elif self.spec.family in ('pixart', 'hunyuan'):
+                self._attn_sizes = (img_size // 32, img_size // 8)
+            else:
+                self._attn_sizes = (img_size // 32, img_size // 16)
+        else:
+            self._attn_sizes = None
+
+        self.scheduler = make_scheduler(self.spec.scheduler,
+                                        self.spec.scheduler_config)
+        # pipeline vae_scale_factor: 2^(n_levels-1); 8 for the real SD VAEs
+        if self.spec.vae is not None:
+            self.vae_scale = 2 ** (len(self.spec.vae.block_out_channels) - 1)
+        else:
+            self.vae_scale = 1
+        self._rng = jax.random.PRNGKey(seed)
+        self.store_idx = None           # background extraction
+        self._background_feats = {}
+
+        self._build_models(weights, seed, external_model)
+        if offline_lora:
+            from .models.lora import apply_lora_to_params
+            self.params['unet'] = apply_lora_to_params(
+                self.params['unet'], offline_lora, offline_lora_filename)
+
+        if control:
+            from .models.controlnet import ControlNetPipeline
+            self.control_pipe = ControlNetPipeline(self, control, weights)
+        else:
+            self.control_pipe = None
+
+    # ------------------------------------------------------------------ build
+    def _build_models(self, weights, seed, external_model):
+        spec = self.spec
+        if external_model is not None:
+            # reuse another extractor's models/params (reference
+            # external_model path, diffusion_feature.py:46-47)
+            src = external_model
+            self.unet, self.vae = src.unet, src.vae
+            self.text_encoders = src.text_encoders
+            self.tokenizers = src.tokenizers
+            self.params = src.params
+            return
+
+        rng = jax.random.PRNGKey(seed)
+        sz = self.img_size
+        lat = sz // self.vae_scale
+        self.vae = AutoencoderKL(cfg=spec.vae, dtype=self.dtype) \
+            if spec.vae is not None else None
+
+        if spec.family == 'pixart':
+            from .models.dit_pixart import PixArtTransformer2D
+            from .models.t5 import T5EncoderModel
+            from .tokenizers.t5_tok import load_t5_tokenizer
+            import os
+            self.unet = PixArtTransformer2D(
+                cfg=spec.dit, dtype=self.dtype, taps=self.taps,
+                attn_store_sizes=self._attn_sizes)
+            self.text_encoders = (T5EncoderModel(cfg=spec.t5, dtype=self.dtype),)
+            tok_dir = os.path.join(weights, 'tokenizer') if weights else None
+            self.tokenizers = (load_t5_tokenizer(
+                tok_dir, model_max_length=spec.prompt_max_length),)
+            def init_all():
+                r1, r2, r3 = jax.random.split(rng, 3)
+                sample = jnp.zeros((1, spec.dit.in_channels, lat, lat), self.dtype)
+                ctx = jnp.zeros((1, spec.prompt_max_length,
+                                 spec.t5.d_model), self.dtype)
+                mask = jnp.ones((1, spec.prompt_max_length), jnp.int32)
+                plain = PixArtTransformer2D(cfg=spec.dit, dtype=self.dtype)
+                p = {'unet': plain.init(r1, sample, 50, ctx, mask)['params']}
+                p['vae'] = self.vae.init(
+                    r2, jnp.zeros((1, 3, sz, sz), self.dtype),
+                    method=AutoencoderKL.full_pass)['params']
+                ids = jnp.zeros((1, spec.prompt_max_length), jnp.int32)
+                p['text'] = [self.text_encoders[0].init(r3, ids)['params']]
+                return p
+        else:
+            self.unet = UNet2DConditionModel(
+                cfg=spec.unet, dtype=self.dtype, taps=self.taps,
+                attn_store_sizes=self._attn_sizes)
+            self.text_encoders = tuple(
+                CLIPTextModel(cfg=c, dtype=self.dtype) for c in spec.text_encoders)
+            tok_dirs = [None] * len(spec.text_encoders)
+            if weights:
+                import os
+                cand = [os.path.join(weights, 'tokenizer'),
+                        os.path.join(weights, 'tokenizer_2')]
+                tok_dirs = [c if os.path.isdir(c) else None
+                            for c in cand[:len(spec.text_encoders)]]
+            self.tokenizers = tuple(
+                load_clip_tokenizer(d, vocab_size=c.vocab_size)
+                for d, c in zip(tok_dirs, spec.text_encoders))
+
+            sample = jnp.zeros((1, spec.unet.in_channels, lat, lat), self.dtype)
+            ctx = jnp.zeros((1, 77, spec.unet.cross_attention_dim), self.dtype)
+            added = None
+            if spec.unet.addition_embed_type == 'text_time':
+                pooled_dim = (spec.text_encoders[-1].projection_dim
+                              or spec.text_encoders[-1].hidden_size)
+                added = {'text_embeds': jnp.zeros((1, pooled_dim), self.dtype),
+                         'time_ids': jnp.zeros((1, 6), self.dtype)}
+
+            def init_all():
+                r1, r2, r3 = jax.random.split(rng, 3)
+                # tap-free U-Net for param init (taps never affect params)
+                unet_init = UNet2DConditionModel(cfg=spec.unet, dtype=self.dtype)
+                p = {'unet': unet_init.init(r1, sample, 50, ctx, added)['params']}
+                if self.vae is not None:
+                    p['vae'] = self.vae.init(
+                        r2, jnp.zeros((1, 3, sz, sz), self.dtype),
+                        method=AutoencoderKL.full_pass)['params']
+                p['text'] = []
+                for i, te in enumerate(self.text_encoders):
+                    ids = jnp.zeros((1, 77), jnp.int32)
+                    p['text'].append(
+                        te.init(jax.random.fold_in(r3, i), ids)['params'])
+                return p
+
+        self.params = init_all()
+        if weights:
+            self._load_weights(weights)
+
+    def _load_weights(self, root: str):
+        """Fill the random-init trees from a local diffusers checkpoint dir."""
+        import os
+        comp_map = [('unet', 'unet', 'unet'), ('vae', 'vae', 'vae')]
+        for key, comp, _ in comp_map:
+            state = load_component_state(root, comp)
+            self.params[key], _, unused = convert_torch_state(
+                state, self.params[key], dtype=self.dtype)
+        text_dirs = ['text_encoder', 'text_encoder_2']
+        for i in range(len(self.text_encoders)):
+            state = load_component_state(root, text_dirs[i])
+            self.params['text'][i], _, _ = convert_torch_state(
+                state, self.params['text'][i], dtype=self.dtype)
+
+    # ---------------------------------------------------------------- prompts
+    def encode_prompt(self, prompt_str: Optional[str] = None,
+                      prompt_file: Optional[str] = None):
+        """Returns the reference's 4-tuple contract
+        (prompt_embeds, negative_prompt_embeds, pooled, negative_pooled)
+        (diffusion_feature.py:203-206)."""
+        assert (prompt_str is None) != (prompt_file is None)
+        if prompt_file:
+            with open(prompt_file) as f:
+                prompts = f.read()
+        else:
+            prompts = prompt_str
+        negative = ''
+
+        if self.spec.family == 'pixart':
+            # raw 4-tuple with attention masks (diffusion_feature.py:195-202)
+            pe, mask = self._encode_t5(prompts)
+            ne, nmask = self._encode_t5(negative)
+            return pe, mask, ne, nmask
+
+        if len(prompts.split(' ')) > 70:
+            pe, ne = encode_long_prompt(self, prompts, negative)
+            return pe, ne, None, None
+
+        pe, pooled = self._encode_one(prompts)
+        ne, neg_pooled = self._encode_one(negative)
+        return pe, ne, pooled, neg_pooled
+
+    def _encode_t5(self, text: str):
+        tok = self.tokenizers[0]
+        ids, mask = tok([text])
+        ids = jnp.asarray(ids, jnp.int32)
+        mask = jnp.asarray(mask, jnp.int32)
+        emb = self.text_encoders[0].apply(
+            {'params': self.params['text'][0]}, ids, mask)
+        return emb, mask
+
+    def _encode_one(self, text: str):
+        spec = self.spec
+        embeds, pooled = [], None
+        for tok, te, params, cfg in zip(
+                self.tokenizers, self.text_encoders, self.params['text'],
+                spec.text_encoders):
+            ids = jnp.asarray(tok([text]), jnp.int32)
+            last, pool, hidden = te.apply({'params': params}, ids)
+            if spec.clip_layer == 'penultimate':
+                embeds.append(hidden[-2])
+            else:
+                embeds.append(last)
+            pooled = pool  # last encoder's pooled wins (SDXL: text_encoder_2)
+        pe = jnp.concatenate(embeds, axis=-1) if len(embeds) > 1 else embeds[0]
+        if spec.clip_layer != 'penultimate':
+            pooled = None
+        return pe, pooled
+
+    def offload_prompt_encoder(self, persistent: bool = False):
+        """Free text-encoder memory (reference diffusion_feature.py:209-219).
+        On TPU this drops the device buffers; with persistent=True the params
+        are deleted outright."""
+        if persistent:
+            self.params['text'] = []
+        else:
+            self.params['text'] = jax.device_get(self.params['text'])
+
+    # ----------------------------------------------------------------- images
+    def preprocess_image(self, x, is_tensor: bool = False):
+        if not is_tensor:
+            return preprocess_pil_batch([x], self.img_size,
+                                        pixel_space=self.spec.is_pixel_space)
+        return resize_tensor_batch(x, self.img_size)
+
+    # ---------------------------------------------------------------- extract
+    def extract(
+        self,
+        prompts,
+        batch_size: int,
+        image,
+        image_type: str = 'image',
+        t: int = 50,
+        denoising_from: Optional[int] = None,
+        use_control: bool = False,
+        use_ddim_inversion: bool = False,
+    ) -> Dict[str, jnp.ndarray]:
+        spec = self.spec
+
+        enc_mask = None
+        if spec.family == 'pixart':
+            pe, enc_mask, _, _ = prompts
+            pooled = None
+            enc_mask = jnp.broadcast_to(
+                jnp.asarray(enc_mask), (batch_size,) + tuple(np.shape(enc_mask)[1:]))
+        elif spec.clip_layer == 'penultimate':
+            pe, ne, pooled, neg_pooled = prompts
+        else:
+            pe, ne, pooled, neg_pooled = prompts[0], prompts[1], None, None
+        pe = jnp.broadcast_to(jnp.asarray(pe, self.dtype),
+                              (batch_size,) + tuple(np.shape(pe)[1:]))
+        if pooled is not None:
+            pooled = jnp.broadcast_to(jnp.asarray(pooled, self.dtype),
+                                      (batch_size,) + tuple(np.shape(pooled)[1:]))
+
+        # image preprocessing (host)
+        if image_type == 'image':
+            img = preprocess_pil_batch(image, self.img_size,
+                                       pixel_space=spec.is_pixel_space)
+        else:
+            img = resize_tensor_batch(image, self.img_size)
+        img = jnp.asarray(img, self.dtype)
+
+        # control information
+        control_args = ()
+        if use_control and self.control_pipe is not None:
+            if image_type == 'image':
+                raw = image
+            else:
+                raw = self.control_pipe.tensors_to_pil(img)
+            control_args = self.control_pipe.generate_control_info(
+                raw, t=t, batch_size=batch_size)
+
+        self._rng, step_rng = jax.random.split(self._rng)
+        fn = self._get_step_fn(int(t),
+                               None if denoising_from is None else int(denoising_from),
+                               bool(use_control and self.control_pipe),
+                               bool(use_ddim_inversion))
+        feats = fn(self.params, img, pe, pooled, enc_mask, step_rng,
+                   *control_args)
+
+        if self.store_idx is not None:
+            self._background_feats = select_background_encounters(
+                feats, self.store_idx)
+        return feats
+
+    @functools.lru_cache(maxsize=32)
+    def _get_step_fn(self, t: int, denoising_from: Optional[int],
+                     use_control: bool, use_ddim_inversion: bool):
+        """Build & jit the fused extraction step for a given timestep config.
+
+        Reproduces reference extract() steps 3-9 (diffusion_feature.py:288-517)
+        as one XLA program.
+        """
+        spec = self.spec
+        sched = self.scheduler
+        state = sched.set_timesteps(1000)
+        if denoising_from is None:
+            timesteps, _ = sched.get_timesteps(state, 1000, t / 1000)
+            latent_t = timesteps[0]
+            denoise_ts = []
+        else:
+            # multi-step denoising_from path (diffusion_feature.py:296-320)
+            if denoising_from - t <= 50:
+                timesteps, _ = sched.get_timesteps(state, 1000, denoising_from / 1000)
+            else:
+                state = sched.set_timesteps(100)
+                timesteps, _ = sched.get_timesteps(state, 100, denoising_from / 100)
+            n = len([ts for ts in timesteps if ts >= t])
+            timesteps = timesteps[:n]
+            latent_t = timesteps[0]
+            denoise_ts = list(timesteps[:-1])
+            t = timesteps[-1]
+
+        unet = self.unet
+        vae = self.vae
+        taps_spec = self.taps
+        resize_ratio = self.feature_resize
+        feature_dtype = self.feature_dtype
+        img_size = self.img_size
+        attention_sel = self.attention
+
+        is_pixart = spec.family == 'pixart'
+        added_static = (spec.unet is not None
+                        and spec.unet.addition_embed_type == 'text_time')
+
+        def added_cond(pooled, bsz):
+            if not added_static:
+                return None
+            s = float(img_size)
+            time_ids = jnp.asarray(
+                [[s, s, 0.0, 0.0, s, s]], self.dtype).repeat(bsz, axis=0)
+            return {'text_embeds': pooled, 'time_ids': time_ids}
+
+        def unet_forward(params, latents, timestep, pe, pooled, enc_mask,
+                         down_res=None, mid_res=None):
+            bsz = latents.shape[0]
+            lat_in = sched.scale_model_input(state, latents, timestep)
+            if is_pixart:
+                out, tap_state = unet.apply(
+                    {'params': params['unet']}, lat_in, float(timestep), pe,
+                    enc_mask, mutable=['taps', 'attn_store'])
+                # learned-sigma models return 2x latent channels; the noise
+                # prediction is the first half (diffusers scheduler contract)
+                out = out[:, :latents.shape[1]]
+            else:
+                out, tap_state = unet.apply(
+                    {'params': params['unet']}, lat_in, float(timestep), pe,
+                    added_cond(pooled, bsz),
+                    down_block_additional_residuals=down_res,
+                    mid_block_additional_residual=mid_res,
+                    mutable=['taps', 'attn_store'])
+            return out, tap_state
+
+        def step(params, img, pe, pooled, enc_mask, rng, *control_args):
+            rng_vae, rng_noise = jax.random.split(rng)
+            if spec.is_pixel_space:
+                latents = img
+            elif use_ddim_inversion:
+                from .ddim_inversion import ddim_invert
+                latents = ddim_invert(self, params, img, pe, stop_at_t=t,
+                                      rng=rng_vae)
+            else:
+                latents = vae.apply({'params': params['vae']}, img, rng_vae,
+                                    method=AutoencoderKL.__call__)
+            if not use_ddim_inversion:
+                noise = jax.random.normal(rng_noise, latents.shape, latents.dtype)
+                latents = sched.add_noise(state, latents, noise, latent_t)
+
+            st = state
+            for ts in denoise_ts:
+                noise_pred, _ = unet_forward(params, latents, ts, pe, pooled,
+                                             enc_mask)
+                latents, st = sched.step(st, noise_pred, ts, latents)
+
+            down_res, mid_res = (control_args if control_args else (None, None))
+            noise_pred, tap_state = unet_forward(
+                params, latents, t, pe, pooled, enc_mask, down_res, mid_res)
+
+            taps = flatten_taps(tap_state.get('taps', {}))
+            feats = postprocess_taps(taps, resize_ratio=resize_ratio,
+                                     out_dtype=feature_dtype)
+
+            if self.store_vae_output:
+                # decode one denoised step (diffusion_feature.py:477-485)
+                lat2, _ = sched.step(state, noise_pred, t, latents)
+                decoded = vae.apply(
+                    {'params': params['vae']},
+                    lat2 / spec.vae.scaling_factor + spec.vae.shift_factor,
+                    method=AutoencoderKL.decode)
+                feats['vae-out'] = decoded.astype(feature_dtype or decoded.dtype)
+
+            if attention_sel:
+                agg = _aggregate_attention(
+                    flatten_taps(tap_state.get('attn_store', {})),
+                    attention_sel, img_size, feature_dtype)
+                if agg is not None:
+                    feats['attn'] = agg
+            return feats
+
+        return jax.jit(step)
+
+    # ------------------------------------------------------------- background
+    def set_background_extraction(self, idxs):
+        self.store_idx = list(idxs)
+
+    def get_background_extraction(self):
+        return {k: v['feat'] for k, v in self._background_feats.items()}
+
+    # ------------------------------------------------------------ enumeration
+    def show_all_layers(self, batch_size: int = 1) -> Dict[str, tuple]:
+        """Enumerate every tappable layer + shape WITHOUT running the model —
+        jax.eval_shape needs no weights (reference --show_all_layers runs a
+        real forward; extract_feature.py:102-110)."""
+        spec = self.spec
+        lat = (self.img_size // self.vae_scale
+               if not spec.is_pixel_space else self.img_size)
+        sample = jax.ShapeDtypeStruct(
+            (batch_size, spec.unet.in_channels, lat, lat), self.dtype)
+        ctx = jax.ShapeDtypeStruct(
+            (batch_size, 77, spec.unet.cross_attention_dim), self.dtype)
+        added = None
+        if spec.unet.addition_embed_type == 'text_time':
+            pooled_dim = (spec.text_encoders[-1].projection_dim
+                          or spec.text_encoders[-1].hidden_size)
+            added = {'text_embeds': jax.ShapeDtypeStruct((batch_size, pooled_dim), self.dtype),
+                     'time_ids': jax.ShapeDtypeStruct((batch_size, 6), self.dtype)}
+        all_unet = UNet2DConditionModel(cfg=spec.unet, dtype=self.dtype,
+                                        taps=TapSpec.all())
+
+        def fwd(params, sample, ctx, added):
+            return all_unet.apply({'params': params}, sample, 50.0, ctx, added,
+                                  mutable=['taps'])
+
+        _, tap_state = jax.eval_shape(fwd, self.params['unet'], sample, ctx, added)
+        flat = flatten_taps(tap_state['taps'])
+        from .store import tokens_to_map
+        out = {}
+        for k, v in flat.items():
+            shape = v.shape
+            if len(shape) == 3:
+                import math
+                size = int(math.sqrt(shape[1]))
+                shape = (shape[0], shape[2], size, size)
+            out[k] = shape
+        return out
+
+
+def _aggregate_attention(store: Dict[str, jnp.ndarray], categories: List[str],
+                         img_size: int, out_dtype):
+    """AttentionStore.aggregate_attention + the facade's resize/concat
+    (reference components/attention.py:143-161, diffusion_feature.py:492-500).
+
+    store maps '{place}_{kind}' -> tuple of (B, Sq, Sk) head-mean maps.
+    """
+    import math
+    all_attns = []
+    for cat in categories:
+        maps = store.get(cat, ())
+        if not isinstance(maps, tuple):
+            maps = (maps,)
+        by_size: Dict[int, list] = {}
+        for m in maps:
+            size = int(math.sqrt(m.shape[1]))
+            reshaped = m.reshape(m.shape[0], size, size, m.shape[2])
+            reshaped = jnp.transpose(reshaped, (0, 3, 1, 2))  # B, Sk, h, w
+            by_size.setdefault(size, []).append(reshaped)
+        for size in sorted(by_size):
+            group = by_size[size]
+            avg = sum(group) / len(group)
+            target = img_size // 8
+            all_attns.append(interpolate_bilinear_nchw(avg, (target, target)))
+    if not all_attns:
+        return None
+    out = jnp.concatenate(all_attns, axis=1)
+    return out.astype(out_dtype) if out_dtype else out

@@ -1,0 +1,131 @@
+"""HF checkpoint -> Flax param-tree conversion.
+
+The reference loads pretrained diffusers/transformers checkpoints from the HF
+hub (feature/components/models.py).  This build has zero network egress, so
+conversion reads *local* diffusers-format directories (safetensors / .bin) and
+maps tensors onto our module trees.
+
+The mapping is structural, not a hand-written per-model table: our Flax
+module/param names are chosen so that a torch key normalized by
+``'.' -> '_'`` (plus a few segment strips) equals our flattened param path.
+Each tensor is transposed per its role (Linear (O,I)->(I,O); Conv
+OIHW->HWIO) and shape-verified against the template tree.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Dict, Iterable, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+from flax import traverse_util
+
+# segments present in torch module paths but flattened away in our modules
+_STRIP_SEGMENTS = (
+    'text_model', 'encoder_layers', 'self_attn', 'mlp', 'embeddings',
+)
+
+
+def _normalize_key(key: str) -> str:
+    k = key.replace('.', '_')
+    # strip known wrapper segments (CLIP text model)
+    k = k.replace('text_model_', '')
+    k = k.replace('encoder_layers_', 'layers_')
+    k = k.replace('_self_attn_', '_')
+    k = k.replace('_mlp_', '_')
+    k = k.replace('embeddings_', '')
+    # attention out projection list wrapper: to_out.0 -> to_out_0 (already via .->_)
+    return k
+
+
+_LEAF_CANDIDATES = {
+    'weight': ('kernel', 'scale', 'embedding'),
+    'bias': ('bias',),
+}
+
+
+def _transpose_for(leaf: str, ours_shape: Tuple[int, ...], t: np.ndarray) -> np.ndarray:
+    if leaf == 'kernel':
+        if t.ndim == 2:
+            t = t.T
+        elif t.ndim == 4:
+            t = t.transpose(2, 3, 1, 0)  # OIHW -> HWIO
+    if t.shape != tuple(ours_shape):
+        raise ValueError(f'shape mismatch: got {t.shape}, want {tuple(ours_shape)}')
+    return t
+
+
+def convert_torch_state(
+    state: Dict[str, np.ndarray],
+    template_params,
+    *,
+    dtype=None,
+    strict: bool = True,
+):
+    """Map a torch state_dict onto ``template_params`` (our init'd tree).
+
+    Returns (params, missing_keys, unused_keys).
+    """
+    flat_template = traverse_util.flatten_dict(template_params)
+    by_norm: Dict[str, Tuple] = {}
+    for path, v in flat_template.items():
+        by_norm['_'.join(path)] = path
+
+    out = dict(flat_template)
+    used = set()
+    unused = []
+    for key, tensor in state.items():
+        base, _, leaf = key.rpartition('.')
+        norm_base = _normalize_key(base)
+        placed = False
+        for cand in _LEAF_CANDIDATES.get(leaf, (leaf,)):
+            norm = f'{norm_base}_{cand}' if norm_base else cand
+            if norm in by_norm:
+                path = by_norm[norm]
+                arr = _transpose_for(cand, flat_template[path].shape,
+                                     np.asarray(tensor))
+                if dtype is not None:
+                    arr = arr.astype(dtype)
+                out[path] = jnp.asarray(arr)
+                used.add(norm)
+                placed = True
+                break
+        if not placed:
+            unused.append(key)
+    missing = [('/'.join(p)) for n, p in by_norm.items() if n not in used]
+    if strict and missing:
+        raise ValueError(f'{len(missing)} params not found in checkpoint, '
+                         f'e.g. {missing[:5]}')
+    return traverse_util.unflatten_dict(out), missing, unused
+
+
+def load_safetensors_dir(path: str) -> Dict[str, np.ndarray]:
+    """Load all tensors from a diffusers component dir (handles sharded
+    files via the index json)."""
+    from safetensors import safe_open
+
+    files = sorted(
+        f for f in os.listdir(path)
+        if f.endswith('.safetensors')
+    )
+    if not files:
+        raise FileNotFoundError(f'no safetensors in {path}')
+    state = {}
+    for f in files:
+        with safe_open(os.path.join(path, f), framework='numpy') as fh:
+            for k in fh.keys():
+                state[k] = fh.get_tensor(k)
+    return state
+
+
+def load_component_config(root: str, component: str) -> dict:
+    p = os.path.join(root, component, 'config.json')
+    with open(p) as f:
+        return json.load(f)
+
+
+def load_component_state(root: str, component: str) -> Dict[str, np.ndarray]:
+    return load_safetensors_dir(os.path.join(root, component))

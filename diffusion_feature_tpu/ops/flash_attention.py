@@ -1,0 +1,144 @@
+"""Pallas TPU flash attention (forward, non-causal, no mask).
+
+Online-softmax blockwise attention: never materializes the (Sq, Sk) score
+matrix in HBM.  This replaces the reference's explicit
+``softmax(QK^T)V`` GPU path (feature/components/attention.py:265-292) for the
+shapes where materialization is prohibitive — SDXL@1024 level-0 self-attention
+is 16384 tokens, i.e. a 10-GiB fp32 score tensor per image that the reference
+only avoids by leaning on xformers (SURVEY §5 long-context note).
+
+Layout: q, k, v are (B, H, S, D).  D is zero-padded to a multiple of 128
+(lane width); zero-padded key columns contribute zero logits and zero value
+rows, so results are exact.  Softmax/accumulation run in fp32 on the MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 512
+_LANE = 128
+NEG_INF = -1e30
+
+
+def _pad_to(x, multiple, axis):
+    size = x.shape[axis]
+    rem = size % multiple
+    if rem == 0:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, multiple - rem)
+    return jnp.pad(x, pad)
+
+
+def is_flash_compatible(q_shape, k_shape, min_seq: int = 1024) -> bool:
+    """Use the kernel only where it wins: long self-attention with
+    block-aligned sequence lengths (SD spatial sequences are powers of two)."""
+    *_, sq, d = q_shape
+    sk = k_shape[-2]
+    return (
+        sq >= min_seq
+        and sq % 256 == 0
+        and sk % 256 == 0
+        and d <= 256
+    )
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, nk):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0].astype(jnp.float32)          # (bq, d)
+    k = k_ref[0].astype(jnp.float32)          # (bk, d)
+    v = v_ref[0].astype(jnp.float32)          # (bk, d)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                                  # (bq, bk)
+
+    m_prev = m_ref[:, :1]                      # (bq, 1)
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)            # (bq, 1)
+    p = jnp.exp(s - m_new)                     # (bq, bk)
+
+    l_new = l_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+
+
+def _use_interpret() -> bool:
+    # CPU backend (tests / virtual meshes) only supports interpret mode
+    return jax.default_backend() != 'tpu'
+
+
+@functools.partial(jax.jit, static_argnames=('scale', 'block_q', 'block_k'))
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    scale: float,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+) -> jnp.ndarray:
+    """(B, H, Sq, D) x (B, H, Sk, D) -> (B, H, Sq, D), fp32 accumulation."""
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    block_q = min(block_q, sq)
+    block_k = min(block_k, sk)
+    assert sq % block_q == 0 and sk % block_k == 0, (sq, sk, block_q, block_k)
+
+    d_pad = max(_LANE, ((d + _LANE - 1) // _LANE) * _LANE)
+    qf = _pad_to(q.reshape(b * h, sq, d), d_pad, axis=2)
+    kf = _pad_to(k.reshape(b * h, sk, d), d_pad, axis=2)
+    vf = _pad_to(v.reshape(b * h, sk, d), d_pad, axis=2)
+
+    nq, nk = sq // block_q, sk // block_k
+    grid = (b * h, nq, nk)
+
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, nk=nk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_pad), lambda bh, qi, ki: (bh, qi, 0)),
+            pl.BlockSpec((1, block_k, d_pad), lambda bh, qi, ki: (bh, ki, 0)),
+            pl.BlockSpec((1, block_k, d_pad), lambda bh, qi, ki: (bh, ki, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d_pad), lambda bh, qi, ki: (bh, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq, d_pad), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANE), jnp.float32),   # running max
+            pltpu.VMEM((block_q, _LANE), jnp.float32),   # running denom
+            pltpu.VMEM((block_q, d_pad), jnp.float32),   # output accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'parallel', 'arbitrary'),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * sq * sk * d_pad,
+            bytes_accessed=(qf.size + kf.size + vf.size) * qf.dtype.itemsize,
+            transcendentals=b * h * sq * sk,
+        ),
+        interpret=_use_interpret(),
+    )(qf, kf, vf)
+
+    return out[:, :, :d].reshape(b, h, sq, d)

@@ -1,0 +1,83 @@
+"""Device-mesh construction and sharding rules.
+
+The reference has no real parallelism layer (SURVEY §2.12): it places whole
+models on separate GPUs and moves tensors with Python threads.  The TPU-native
+replacement is a ``jax.sharding.Mesh`` with named axes:
+
+  dp — data parallel: batch dimension of extraction/training
+  tp — tensor parallel: attention heads / FFN inner dim / conv channels
+
+Batch extraction shards images over dp; the U-Net itself is replicated unless
+tp > 1, in which case qkv/ffn weights are column-sharded and output
+projections row-sharded so each layer needs one psum (ridden on ICI by XLA).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(dp: Optional[int] = None, tp: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if dp is None:
+        dp = n // tp
+    assert dp * tp == n, f'dp({dp}) * tp({tp}) != n_devices({n})'
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, ('dp', 'tp'))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P('dp'))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# ---------------------------------------------------------------- param rules
+def _param_pspec(path: Tuple[str, ...], value) -> P:
+    """Tensor-parallel partition spec for a U-Net/text-encoder param leaf.
+
+    Column-parallel (shard output features): to_q/to_k/to_v kernels, FFN
+    in-projection, conv kernels' output channel.
+    Row-parallel (shard input features): to_out_0 / net_2 kernels.
+    Everything else replicated.  Biases of column-parallel layers shard on
+    their only axis.
+    """
+    name = path[-2] if len(path) >= 2 else ''
+    leaf = path[-1]
+    col = name in ('to_q', 'to_k', 'to_v') or name == 'proj'  # GEGLU proj
+    row = name in ('to_out_0', 'net_2')
+    if leaf == 'kernel' and value.ndim == 2:
+        if col:
+            return P(None, 'tp')
+        if row:
+            return P('tp', None)
+    if leaf == 'bias' and col and value.ndim == 1:
+        return P('tp')
+    return P()
+
+
+def unet_param_shardings(mesh: Mesh, params):
+    """Build a NamedSharding pytree for tensor-parallel U-Net params."""
+    from flax import traverse_util
+    flat = traverse_util.flatten_dict(params)
+    out = {}
+    for path, v in flat.items():
+        out[path] = NamedSharding(mesh, _param_pspec(path, v))
+    return traverse_util.unflatten_dict(out)
+
+
+def shard_params(mesh: Mesh, params, tensor_parallel: bool = False):
+    """Place params on the mesh: replicated, or tp-sharded where profitable."""
+    if tensor_parallel:
+        shardings = unet_param_shardings(mesh, params)
+    else:
+        shardings = jax.tree.map(lambda _: replicated(mesh), params)
+    return jax.device_put(params, shardings)

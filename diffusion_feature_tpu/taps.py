@@ -128,7 +128,8 @@ def sow_tap(module, feat_id: str, value, layout: str = 'native'):
       - 'nhwc':    (B,H,W,C) -> (B,C,H,W) to match torch conv features
       - 'tokens':  (B,S,C) stored as-is (store-side reshape handles B,C,h,w)
     """
-    full = child_id(module.tap_name, feat_id) if feat_id else module.tap_name
+    prefix = getattr(module, 'tap_name', '')
+    full = child_id(prefix, feat_id) if feat_id else prefix
     if not module.taps.wants(full):
         return
     if layout == 'nhwc':

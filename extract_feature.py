@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Standalone batch feature-extraction CLI.
+
+Mirrors the reference CLI's argument surface and on-disk output format
+(reference: extract_feature.py:15-148), TPU-native underneath: the whole
+per-batch pipeline is one jitted XLA program, batches are sharded over the
+device mesh when more than one chip is present.
+"""
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from diffusion_feature_tpu import FeatureExtractor  # noqa: E402
+from diffusion_feature_tpu.io.dump import save_batch  # noqa: E402
+
+
+def build_parser():
+    parser = argparse.ArgumentParser()
+    # package settings (reference extract_feature.py:18-29)
+    parser.add_argument('--layer', type=str, default=None,
+                        help="layer config json: which activations to extract")
+    parser.add_argument('--version', type=str, default='xl')
+    parser.add_argument('--dtype', type=str, default='bfloat16',
+                        choices=('float16', 'float32', 'bfloat16'))
+    parser.add_argument('--offline_lora', type=str, default=None)
+    parser.add_argument('--offline_lora_filename', type=str, default=None)
+    parser.add_argument('--feature_resize', type=int, default=1)
+    parser.add_argument('--control', type=str, nargs='+', default=None)
+    parser.add_argument('--attention', type=str, nargs='+', default=None,
+                        choices=('down_cross', 'mid_cross', 'up_cross',
+                                 'down_self', 'mid_self', 'up_self'))
+    parser.add_argument('--img_size', type=int, default=1024)
+    # extraction settings
+    parser.add_argument('--batch_size', '-b', type=int, default=2)
+    parser.add_argument('--t', type=int, default=50)
+    parser.add_argument('--denoising_from', type=int, default=None)
+    parser.add_argument('--use_ddim_inversion', action='store_true')
+    # io settings (reference :35-43)
+    parser.add_argument('--input_dir', type=str, default=None,
+                        help='glob pattern for input images')
+    parser.add_argument('--nested_input_dir', action='store_true')
+    parser.add_argument('--prompt_file', type=str, default='prompt.txt')
+    parser.add_argument('--prompt', type=str, default=None,
+                        help='inline prompt (alternative to --prompt_file)')
+    parser.add_argument('--output_dir', type=str, default='./output/')
+    parser.add_argument('--aggregate_output', action='store_true')
+    parser.add_argument('--use_original_filename', action='store_true')
+    parser.add_argument('--split', type=str, default='train')
+    parser.add_argument('--sample_name_first', action='store_true')
+    # tpu-specific
+    parser.add_argument('--weights', type=str, default=None,
+                        help='local diffusers checkpoint dir')
+    # debug
+    parser.add_argument('--show_all_layers', action='store_true')
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    os.makedirs(args.output_dir, exist_ok=True)
+    print(f'Run folder: {args.output_dir}')
+
+    if args.show_all_layers:
+        args.layer = None
+
+    df = FeatureExtractor(
+        args.layer,
+        args.version,
+        dtype=args.dtype,
+        offline_lora=args.offline_lora,
+        offline_lora_filename=args.offline_lora_filename,
+        feature_resize=args.feature_resize,
+        control=args.control,
+        attention=args.attention,
+        img_size=args.img_size,
+        weights=args.weights,
+    )
+
+    if args.show_all_layers:
+        # enumeration needs no weights and no forward pass (jax.eval_shape)
+        layer_record = {}
+        for k, shape in sorted(df.show_all_layers().items()):
+            print(k, tuple(shape[1:]))
+            layer_record[k] = True
+        with open('layer_record.json', 'w') as f:
+            f.write(json.dumps(layer_record))
+        return
+
+    # input list (reference :68-75)
+    from PIL import Image
+    imgs = sorted(glob.glob(args.input_dir, recursive=True))
+    if not imgs:
+        print(f'no images matched {args.input_dir!r}', file=sys.stderr)
+        sys.exit(1)
+    names = []
+    for img in imgs:
+        if not args.nested_input_dir:
+            names.append(os.path.splitext(os.path.basename(img))[0])
+        else:
+            names.append(os.path.join(
+                os.path.basename(os.path.split(img)[0]),
+                os.path.splitext(os.path.basename(img))[0]))
+
+    # prompt (reference :77-82)
+    if args.prompt is not None:
+        prompts_text = args.prompt
+    else:
+        with open(args.prompt_file) as f:
+            prompts_text = f.read()
+    print('prompt:', prompts_text)
+    if args.version not in ('flux', 'hunyuan'):
+        prompts = df.encode_prompt(prompts_text)
+    else:
+        prompts = prompts_text
+
+    i = 0
+    while i < len(imgs):
+        batch_paths = imgs[i:i + args.batch_size]
+        sublist = [Image.open(p) for p in batch_paths]
+        features = df.extract(
+            prompts, len(sublist), sublist,
+            t=args.t,
+            denoising_from=args.denoising_from,
+            use_control=args.control is not None,
+            use_ddim_inversion=args.use_ddim_inversion,
+        )
+        features = {k: np.asarray(v, dtype=np.float32)
+                    for k, v in features.items()}
+        save_batch(
+            features, args.output_dir,
+            batch_start_index=i,
+            original_names=names[i:i + len(sublist)],
+            split=args.split,
+            use_original_filename=args.use_original_filename,
+            sample_name_first=args.sample_name_first,
+            aggregate_output=args.aggregate_output,
+            nested=args.nested_input_dir,
+        )
+        i += len(sublist)
+        print(f'{i}/{len(imgs)}')
+
+
+if __name__ == '__main__':
+    main()

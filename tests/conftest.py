@@ -4,7 +4,7 @@ multi-chip path via __graft_entry__.dryrun_multichip)."""
 
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+os.environ['JAX_PLATFORMS'] = 'cpu'   # hard override: env pins axon (TPU)
 flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()
@@ -16,6 +16,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 import pytest  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
+
+# This environment defaults fp32 matmuls to bf16 passes (TPU MXU semantics,
+# also emulated on the CPU backend).  Parity tests against torch need true
+# fp32 accumulation.
+jax.config.update('jax_default_matmul_precision', 'float32')
 
 
 @pytest.fixture(scope='session')

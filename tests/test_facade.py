@@ -1,0 +1,140 @@
+"""Facade tests: end-to-end extraction flows on the tiny offline models."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+from PIL import Image
+
+from diffusion_feature_tpu import FeatureExtractor
+
+
+def make_image(seed=0, size=80):
+    rng = np.random.RandomState(seed)
+    return Image.fromarray((rng.rand(size, size, 3) * 255).astype('uint8'))
+
+
+@pytest.fixture(scope='module')
+def fe_sd():
+    return FeatureExtractor(
+        layer={'mid-vit-block0-self-q': True,
+               'up-level1-repeat0-res-out': True,
+               'mid-vit-block0-self-map': True},
+        version='test-sd', img_size=64, dtype='float32')
+
+
+class TestExtract:
+    def test_basic_extract(self, fe_sd):
+        prompts = fe_sd.encode_prompt('a cat')
+        feats = fe_sd.extract(prompts, 2, [make_image(0), make_image(1)], t=50)
+        assert set(feats) == {'mid-vit-block0-self-q',
+                              'up-level1-repeat0-res-out',
+                              'mid-vit-block0-self-map'}
+        q = feats['mid-vit-block0-self-q']
+        assert q.shape[0] == 2 and q.ndim == 4      # B,C,h,w
+        m = feats['mid-vit-block0-self-map']
+        assert m.ndim == 4 and m.shape[2] == m.shape[3]  # B,H,Sq,Sk
+        assert q.dtype == jnp.bfloat16
+
+    def test_timestep_changes_features(self, fe_sd):
+        prompts = fe_sd.encode_prompt('a cat')
+        img = [make_image(0)]
+        f1 = fe_sd.extract(prompts, 1, img, t=50)
+        f2 = fe_sd.extract(prompts, 1, img, t=500)
+        a = np.asarray(f1['up-level1-repeat0-res-out'], np.float32)
+        b = np.asarray(f2['up-level1-repeat0-res-out'], np.float32)
+        assert not np.allclose(a, b)
+
+    def test_prompt_conditions_features(self, fe_sd):
+        img = [make_image(0)]
+        p1 = fe_sd.encode_prompt('a cat')
+        p2 = fe_sd.encode_prompt('a completely different dog')
+        f1 = fe_sd.extract(p1, 1, img, t=50)
+        f2 = fe_sd.extract(p2, 1, img, t=50)
+        a = np.asarray(f1['mid-vit-block0-self-q'], np.float32)
+        b = np.asarray(f2['mid-vit-block0-self-q'], np.float32)
+        assert not np.allclose(a, b)
+
+    def test_tensor_input(self, fe_sd):
+        prompts = fe_sd.encode_prompt('a cat')
+        x = np.random.RandomState(0).rand(2, 3, 48, 48).astype(np.float32) * 2 - 1
+        feats = fe_sd.extract(prompts, 2, x, image_type='tensors', t=50)
+        assert feats['up-level1-repeat0-res-out'].shape[0] == 2
+
+    def test_feature_resize(self):
+        fe = FeatureExtractor(layer={'up-level1-repeat0-res-out': True},
+                              version='test-sd', img_size=64, dtype='float32',
+                              feature_resize=2)
+        prompts = fe.encode_prompt('x')
+        feats = fe.extract(prompts, 1, [make_image()], t=50)
+        full = FeatureExtractor(layer={'up-level1-repeat0-res-out': True},
+                                version='test-sd', img_size=64, dtype='float32')
+        ffull = full.extract(prompts, 1, [make_image()], t=50)
+        assert (feats['up-level1-repeat0-res-out'].shape[-1] * 2
+                == ffull['up-level1-repeat0-res-out'].shape[-1])
+
+    def test_show_all_layers(self, fe_sd):
+        shapes = fe_sd.show_all_layers()
+        assert len(shapes) > 50
+        assert 'unet-in' in shapes and 'mid-vit-block0-ffn-inner' in shapes
+        assert not any('cross-k' in k or 'cross-v' in k for k in shapes)
+
+    def test_accept_all_extract(self):
+        fe = FeatureExtractor(layer=None, version='test-sd', img_size=64,
+                              dtype='float32')
+        prompts = fe.encode_prompt('x')
+        feats = fe.extract(prompts, 1, [make_image()], t=50)
+        assert len(feats) > 50
+
+    def test_vae_out_pseudo_layer(self):
+        fe = FeatureExtractor(layer={'vae-out': True}, version='test-sd',
+                              img_size=64, dtype='float32')
+        prompts = fe.encode_prompt('x')
+        feats = fe.extract(prompts, 1, [make_image()], t=50)
+        assert feats['vae-out'].shape == (1, 3, 64, 64)
+
+
+class TestXL:
+    def test_xl_extract_with_micro_conditioning(self):
+        fe = FeatureExtractor(layer={'mid-vit-block0-cross-q': True},
+                              version='test-xl', img_size=64, dtype='float32')
+        prompts = fe.encode_prompt('a cat')
+        pe, ne, pooled, neg_pooled = prompts
+        assert pooled is not None          # dual-encoder pooled embeds
+        assert pe.shape[-1] == 64          # concat of both encoders
+        feats = fe.extract(prompts, 1, [make_image()], t=50)
+        assert 'mid-vit-block0-cross-q' in feats
+
+
+class TestAttentionStorePseudoLayer:
+    def test_attn_aggregation(self):
+        # tiny VAE downsamples 2x (not 8x), so the default size band derived
+        # from img_size misses every layer; override for the test topology
+        fe = FeatureExtractor(layer={'mid-vit-block0-self-q': True},
+                              version='test-sd', img_size=64, dtype='float32',
+                              attention=['mid_cross', 'mid_self'],
+                              attn_store_sizes=(2, 30))
+        prompts = fe.encode_prompt('a cat')
+        feats = fe.extract(prompts, 1, [make_image()], t=50)
+        assert 'attn' in feats
+        attn = feats['attn']
+        # resized to (img//8)² and channel-concatenated
+        assert attn.shape[-2:] == (64 // 8, 64 // 8)
+
+
+class TestLongPrompt:
+    def test_long_prompt_chunked(self, fe_sd):
+        long_prompt = ' '.join(f'word{i}' for i in range(100))
+        pe, ne, pooled, _ = fe_sd.encode_prompt(long_prompt)
+        assert pe.shape[1] > 77 and pe.shape[1] % 77 == 0
+        assert pe.shape[1] == ne.shape[1]
+
+
+class TestBackgroundExtraction:
+    def test_store_idx_api(self, fe_sd):
+        fe_sd.set_background_extraction([1])
+        prompts = fe_sd.encode_prompt('x')
+        feats = fe_sd.extract(prompts, 1, [make_image()], t=50)
+        bg = fe_sd.get_background_extraction()
+        assert 'mid-vit-block0-self-q' in bg
+        assert set(bg['mid-vit-block0-self-q'].keys()) == {1}
+        fe_sd.store_idx = None
