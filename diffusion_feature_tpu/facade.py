@@ -332,15 +332,16 @@ class FeatureExtractor:
             img = resize_tensor_batch(image, self.img_size)
         img = jnp.asarray(img, self.dtype)
 
-        # control information
+        # control images: host preprocessing only; the ControlNet forward runs
+        # inside the jitted step (reference runs it eagerly, :409-441)
         control_args = ()
         if use_control and self.control_pipe is not None:
             if image_type == 'image':
                 raw = image
             else:
                 raw = self.control_pipe.tensors_to_pil(img)
-            control_args = self.control_pipe.generate_control_info(
-                raw, t=t, batch_size=batch_size)
+            control_args = self.control_pipe.prepare_control_images(
+                raw, batch_size)
 
         self._rng, step_rng = jax.random.split(self._rng)
         fn = self._get_step_fn(int(t),
@@ -444,7 +445,14 @@ class FeatureExtractor:
                                              enc_mask)
                 latents, st = sched.step(st, noise_pred, ts, latents)
 
-            down_res, mid_res = (control_args if control_args else (None, None))
+            down_res = mid_res = None
+            if use_control:
+                # ControlNet encodes the *scaled* latent input (reference
+                # diffusion_feature.py:406-413) with summed multi-net residuals
+                lat_in = sched.scale_model_input(state, latents, t)
+                down_res, mid_res = self.control_pipe.encode_all(
+                    params['controlnet'], lat_in, float(t), pe, control_args,
+                    added_cond(pooled, lat_in.shape[0]))
             noise_pred, tap_state = unet_forward(
                 params, latents, t, pe, pooled, enc_mask, down_res, mid_res)
 

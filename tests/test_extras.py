@@ -1,0 +1,149 @@
+"""Tests for the facade extras: DDIM inversion, ControlNet, LoRA merging.
+
+Reference behaviors under test:
+  - use_ddim_inversion=True swaps random-noise injection for a forward-DDIM
+    walk to t (feature/components/ddim_inversion.py; facade :381-386)
+  - use_control=True runs controlnets and injects summed residuals
+    (feature/components/controlnet.py:87-136, facade :409-441)
+  - offline_lora merges low-rank deltas into the U-Net weights
+    (facade :50-53)
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from PIL import Image
+
+from diffusion_feature_tpu import FeatureExtractor
+
+
+def make_image(seed=0, size=80):
+    rng = np.random.RandomState(seed)
+    return Image.fromarray((rng.rand(size, size, 3) * 255).astype('uint8'))
+
+
+LAYER = {'up-level1-repeat0-res-out': True}
+
+
+class TestDDIMInversion:
+    def test_inversion_runs_and_differs_from_noise(self):
+        fe = FeatureExtractor(layer=LAYER, version='test-sd', img_size=64,
+                              dtype='float32')
+        prompts = fe.encode_prompt('a cat')
+        img = [make_image(0)]
+        f_inv = fe.extract(prompts, 1, img, t=50, use_ddim_inversion=True)
+        f_rand = fe.extract(prompts, 1, img, t=50)
+        a = np.asarray(f_inv['up-level1-repeat0-res-out'], np.float32)
+        b = np.asarray(f_rand['up-level1-repeat0-res-out'], np.float32)
+        assert a.shape == b.shape
+        assert np.isfinite(a).all()
+        assert not np.allclose(a, b)
+
+    def test_inversion_is_deterministic_given_image(self):
+        # DDIM inversion replaces the stochastic noise draw; only the VAE
+        # posterior sample varies, and the inverted latents dominate
+        fe = FeatureExtractor(layer=LAYER, version='test-sd', img_size=64,
+                              dtype='float32')
+        prompts = fe.encode_prompt('a cat')
+        from diffusion_feature_tpu.ddim_inversion import ddim_invert
+        img = jnp.asarray(
+            np.random.RandomState(0).rand(1, 3, 64, 64).astype(np.float32))
+        r = jax.random.PRNGKey(3)
+        l1 = ddim_invert(fe, fe.params, img, jnp.zeros((1, 8, 32)),
+                         stop_at_t=50, rng=r)
+        l2 = ddim_invert(fe, fe.params, img, jnp.zeros((1, 8, 32)),
+                         stop_at_t=50, rng=r)
+        assert np.allclose(np.asarray(l1), np.asarray(l2))
+
+
+class TestControlNet:
+    @pytest.fixture(scope='class')
+    def fe_control(self):
+        return FeatureExtractor(layer=LAYER, version='test-sd', img_size=64,
+                                dtype='float32', control=['canny'])
+
+    def test_control_changes_features(self, fe_control):
+        prompts = fe_control.encode_prompt('a cat')
+        img = [make_image(0)]
+        fe_control._rng = jax.random.PRNGKey(5)   # pin the noise draw
+        f_ctrl = fe_control.extract(prompts, 1, img, t=50, use_control=True)
+        fe_control._rng = jax.random.PRNGKey(5)
+        f_none = fe_control.extract(prompts, 1, img, t=50, use_control=False)
+        a = np.asarray(f_ctrl['up-level1-repeat0-res-out'], np.float32)
+        b = np.asarray(f_none['up-level1-repeat0-res-out'], np.float32)
+        assert a.shape == b.shape and np.isfinite(a).all()
+        # zero-convs initialize to zero -> residuals are exactly zero at
+        # random init, features must MATCH up to bf16 store + XLA fusion
+        # reassociation noise (trained checkpoints would diverge here)
+        assert np.allclose(a, b, rtol=0.05, atol=0.05)
+
+    def test_nonzero_residuals_propagate(self, fe_control):
+        # perturb one zero-conv kernel; now control must change features
+        prompts = fe_control.encode_prompt('a cat')
+        img = [make_image(0)]
+        p = fe_control.params['controlnet'][0]
+        k = p['controlnet_mid_block']['kernel']
+        p['controlnet_mid_block']['kernel'] = jnp.ones_like(k) * 0.5
+        fe_control._rng = jax.random.PRNGKey(5)
+        f_ctrl = fe_control.extract(prompts, 1, img, t=50, use_control=True)
+        fe_control._rng = jax.random.PRNGKey(5)
+        f_none = fe_control.extract(prompts, 1, img, t=50, use_control=False)
+        a = np.asarray(f_ctrl['up-level1-repeat0-res-out'], np.float32)
+        b = np.asarray(f_none['up-level1-repeat0-res-out'], np.float32)
+        assert not np.allclose(a, b)
+        p['controlnet_mid_block']['kernel'] = k
+
+    def test_canny_preprocessor(self):
+        from diffusion_feature_tpu.models.controlnet import canny_edges
+        img = np.zeros((64, 64, 3), np.uint8)
+        img[16:48, 16:48] = 255
+        edges = canny_edges(img)
+        assert edges.shape == (64, 64)
+        assert edges[32, 32] == 0            # interior is not an edge
+        # the square boundary produces edge responses
+        assert edges[14:18, 16:48].any() or edges[16:48, 14:18].any()
+
+
+class TestLoRA:
+    def test_merge_changes_only_targeted_weights(self, tmp_path):
+        fe = FeatureExtractor(layer=LAYER, version='test-sd', img_size=64,
+                              dtype='float32')
+        w = np.asarray(
+            fe.params['unet']['mid_block']['attentions_0']
+            ['transformer_blocks_0']['attn1']['to_q']['kernel'])
+        inner = w.shape[1]
+        rank = 4
+        rng = np.random.RandomState(0)
+        down = rng.randn(rank, w.shape[0]).astype(np.float32)   # (r, I)
+        up = rng.randn(inner, rank).astype(np.float32)          # (O, r)
+        state = {
+            'unet.mid_block.attentions.0.transformer_blocks.0.attn1.to_q.lora_A.weight': down,
+            'unet.mid_block.attentions.0.transformer_blocks.0.attn1.to_q.lora_B.weight': up,
+        }
+        from safetensors.numpy import save_file
+        f = tmp_path / 'lora.safetensors'
+        save_file(state, str(f))
+
+        from diffusion_feature_tpu.models.lora import apply_lora_to_params
+        new = apply_lora_to_params(fe.params['unet'], str(f))
+        w2 = np.asarray(
+            new['mid_block']['attentions_0']['transformer_blocks_0']
+            ['attn1']['to_q']['kernel'])
+        expect = w + (up @ down).T            # scale = alpha/rank defaults to 1
+        assert np.allclose(w2, expect, atol=1e-5)
+        # untouched param unchanged
+        other = np.asarray(new['conv_in']['kernel'])
+        assert np.allclose(other, np.asarray(fe.params['unet']['conv_in']['kernel']))
+
+    def test_unmatched_lora_raises(self, tmp_path):
+        from safetensors.numpy import save_file
+        from diffusion_feature_tpu.models.lora import apply_lora_to_params
+        f = tmp_path / 'bad.safetensors'
+        save_file({'unet.nonexistent.lora_A.weight': np.zeros((2, 3), np.float32),
+                   'unet.nonexistent.lora_B.weight': np.zeros((3, 2), np.float32)},
+                  str(f))
+        fe = FeatureExtractor(layer=LAYER, version='test-sd', img_size=64,
+                              dtype='float32')
+        with pytest.raises(ValueError):
+            apply_lora_to_params(fe.params['unet'], str(f))
