@@ -88,7 +88,7 @@ class FeatureExtractor:
         if self.attention:
             if attn_store_sizes is not None:
                 self._attn_sizes = tuple(attn_store_sizes)
-            elif self.spec.family in ('pixart', 'hunyuan'):
+            elif self.spec.family in ('pixart', 'hunyuan', 'flux'):
                 self._attn_sizes = (img_size // 32, img_size // 8)
             else:
                 self._attn_sizes = (img_size // 32, img_size // 16)
@@ -137,7 +137,52 @@ class FeatureExtractor:
         self.vae = AutoencoderKL(cfg=spec.vae, dtype=self.dtype) \
             if spec.vae is not None else None
 
-        if spec.family == 'pixart':
+        if spec.family == 'flux':
+            from .models.flux import FluxTransformer2D, pack_latents
+            from .models.t5 import T5EncoderModel
+            from .tokenizers.t5_tok import load_t5_tokenizer
+            import os
+            grid = lat // 2
+            self.unet = FluxTransformer2D(
+                cfg=spec.dit, grid_hw=(grid, grid),
+                text_len=spec.prompt_max_length, dtype=self.dtype,
+                taps=self.taps, attn_store_sizes=self._attn_sizes)
+            self.text_encoders = (
+                CLIPTextModel(cfg=spec.text_encoders[0], dtype=self.dtype),
+                T5EncoderModel(cfg=spec.t5, dtype=self.dtype))
+            clip_tok_dir = os.path.join(weights, 'tokenizer') if weights else None
+            t5_tok_dir = os.path.join(weights, 'tokenizer_2') if weights else None
+            self.tokenizers = (
+                load_clip_tokenizer(
+                    clip_tok_dir if clip_tok_dir and os.path.isdir(clip_tok_dir)
+                    else None, vocab_size=spec.text_encoders[0].vocab_size),
+                load_t5_tokenizer(
+                    t5_tok_dir if t5_tok_dir and os.path.isdir(t5_tok_dir)
+                    else None, model_max_length=spec.prompt_max_length,
+                    vocab_size=spec.t5.vocab_size))
+
+            def init_all():
+                r1, r2, r3, r4 = jax.random.split(rng, 4)
+                packed = jnp.zeros((1, grid * grid, spec.dit.in_channels),
+                                   self.dtype)
+                ctx = jnp.zeros((1, spec.prompt_max_length, spec.t5.d_model),
+                                self.dtype)
+                pooled = jnp.zeros((1, spec.dit.pooled_projection_dim),
+                                   self.dtype)
+                plain = FluxTransformer2D(
+                    cfg=spec.dit, grid_hw=(grid, grid),
+                    text_len=spec.prompt_max_length, dtype=self.dtype)
+                p = {'unet': plain.init(r1, packed, 50.0, ctx, pooled)['params']}
+                p['vae'] = self.vae.init(
+                    r2, jnp.zeros((1, 3, sz, sz), self.dtype),
+                    method=AutoencoderKL.full_pass)['params']
+                ids = jnp.zeros((1, 77), jnp.int32)
+                t5_ids = jnp.zeros((1, spec.prompt_max_length), jnp.int32)
+                p['text'] = [
+                    self.text_encoders[0].init(r3, ids)['params'],
+                    self.text_encoders[1].init(r4, t5_ids)['params']]
+                return p
+        elif spec.family == 'pixart':
             from .models.dit_pixart import PixArtTransformer2D
             from .models.t5 import T5EncoderModel
             from .tokenizers.t5_tok import load_t5_tokenizer
@@ -148,7 +193,8 @@ class FeatureExtractor:
             self.text_encoders = (T5EncoderModel(cfg=spec.t5, dtype=self.dtype),)
             tok_dir = os.path.join(weights, 'tokenizer') if weights else None
             self.tokenizers = (load_t5_tokenizer(
-                tok_dir, model_max_length=spec.prompt_max_length),)
+                tok_dir, model_max_length=spec.prompt_max_length,
+                vocab_size=spec.t5.vocab_size),)
             def init_all():
                 r1, r2, r3 = jax.random.split(rng, 3)
                 sample = jnp.zeros((1, spec.dit.in_channels, lat, lat), self.dtype)
@@ -212,8 +258,11 @@ class FeatureExtractor:
     def _load_weights(self, root: str):
         """Fill the random-init trees from a local diffusers checkpoint dir."""
         import os
-        comp_map = [('unet', 'unet', 'unet'), ('vae', 'vae', 'vae')]
-        for key, comp, _ in comp_map:
+        denoiser_comp = ('transformer'
+                         if self.spec.family in ('pixart', 'flux', 'hunyuan')
+                         else 'unet')
+        comp_map = [('unet', denoiser_comp), ('vae', 'vae')]
+        for key, comp in comp_map:
             state = load_component_state(root, comp)
             self.params[key], _, unused = convert_torch_state(
                 state, self.params[key], dtype=self.dtype)
@@ -243,6 +292,12 @@ class FeatureExtractor:
             ne, nmask = self._encode_t5(negative)
             return pe, mask, ne, nmask
 
+        if self.spec.family == 'flux':
+            # CLIP pooled + T5 sequence (FluxPipeline.encode_prompt contract;
+            # the reference feeds the raw string to the pipeline instead,
+            # diffusion_feature.py:246-254 — extract() accepts both)
+            return self._encode_flux(prompts)
+
         if len(prompts.split(' ')) > 70:
             pe, ne = encode_long_prompt(self, prompts, negative)
             return pe, ne, None, None
@@ -259,6 +314,17 @@ class FeatureExtractor:
         emb = self.text_encoders[0].apply(
             {'params': self.params['text'][0]}, ids, mask)
         return emb, mask
+
+    def _encode_flux(self, text: str):
+        """Returns (t5_prompt_embeds, None, clip_pooled, None)."""
+        clip_tok, t5_tok = self.tokenizers
+        ids = jnp.asarray(clip_tok([text]), jnp.int32)
+        _, pooled, _ = self.text_encoders[0].apply(
+            {'params': self.params['text'][0]}, ids)
+        t5_ids, _ = t5_tok([text])
+        pe = self.text_encoders[1].apply(
+            {'params': self.params['text'][1]}, jnp.asarray(t5_ids, jnp.int32))
+        return pe, None, pooled, None
 
     def _encode_one(self, text: str):
         spec = self.spec
@@ -308,6 +374,11 @@ class FeatureExtractor:
     ) -> Dict[str, jnp.ndarray]:
         spec = self.spec
 
+        if spec.family == 'flux':
+            # pipeline-driven single-step path (reference
+            # diffusion_feature.py:246-254): accepts the raw prompt string
+            return self._extract_flux(prompts, batch_size, image, image_type, t)
+
         enc_mask = None
         if spec.family == 'pixart':
             pe, enc_mask, _, _ = prompts
@@ -355,6 +426,76 @@ class FeatureExtractor:
             self._background_feats = select_background_encounters(
                 feats, self.store_idx)
         return feats
+
+    def _extract_flux(self, prompts, batch_size: int, image,
+                      image_type: str, t: int):
+        if isinstance(prompts, str):
+            prompts = self._encode_flux(prompts)
+        pe, _, pooled, _ = prompts
+        pe = jnp.broadcast_to(jnp.asarray(pe, self.dtype),
+                              (batch_size,) + tuple(np.shape(pe)[1:]))
+        pooled = jnp.broadcast_to(jnp.asarray(pooled, self.dtype),
+                                  (batch_size,) + tuple(np.shape(pooled)[1:]))
+        if image_type == 'image':
+            img = preprocess_pil_batch(image, self.img_size)
+        else:
+            img = resize_tensor_batch(image, self.img_size)
+        img = jnp.asarray(img, self.dtype)
+        self._rng, step_rng = jax.random.split(self._rng)
+        feats = self._get_flux_step_fn(int(t))(self.params, img, pe, pooled,
+                                               step_rng)
+        if self.store_idx is not None:
+            self._background_feats = select_background_encounters(
+                feats, self.store_idx)
+        return feats
+
+    @functools.lru_cache(maxsize=32)
+    def _get_flux_step_fn(self, t: int, num_inference_steps: int = 28):
+        """One jitted program: VAE encode -> flow-match noise scale at
+        sigma(t) -> 2x2 pack -> single Flux forward with taps (the
+        reference's early-``return`` pipeline path, overlay
+        pipeline_flux_img2img.py:841)."""
+        from .models.flux import pack_latents
+        from .schedulers.flow_match import calculate_shift
+
+        sched = self.scheduler
+        lat = self.img_size // self.vae_scale
+        seq_len = (lat // 2) ** 2
+        sigmas = np.linspace(1.0, 1.0 / num_inference_steps,
+                             num_inference_steps)
+        mu = calculate_shift(seq_len, sched.config)
+        state = sched.set_timesteps(num_inference_steps, mu=mu, sigmas=sigmas)
+        timesteps, _ = sched.get_timesteps(state, num_inference_steps, t / 1000)
+        latent_t = float(timesteps[0])
+
+        vae = self.vae
+        unet = self.unet
+        resize_ratio = self.feature_resize
+        feature_dtype = self.feature_dtype
+        img_size = self.img_size
+        attention_sel = self.attention
+
+        def step(params, img, pe, pooled, rng):
+            r1, r2 = jax.random.split(rng)
+            latents = vae.apply({'params': params['vae']}, img, r1)
+            noise = jax.random.normal(r2, latents.shape, latents.dtype)
+            latents = sched.scale_noise(state, latents, noise, latent_t)
+            packed = pack_latents(latents)
+            _, tap_state = unet.apply(
+                {'params': params['unet']}, packed, latent_t, pe, pooled,
+                mutable=['taps', 'attn_store'])
+            taps = flatten_taps(tap_state.get('taps', {}))
+            feats = postprocess_taps(taps, resize_ratio=resize_ratio,
+                                     out_dtype=feature_dtype)
+            if attention_sel:
+                agg = _aggregate_attention(
+                    flatten_taps(tap_state.get('attn_store', {})),
+                    attention_sel, img_size, feature_dtype)
+                if agg is not None:
+                    feats['attn'] = agg
+            return feats
+
+        return jax.jit(step)
 
     @functools.lru_cache(maxsize=32)
     def _get_step_fn(self, t: int, denoising_from: Optional[int],
@@ -494,24 +635,47 @@ class FeatureExtractor:
         spec = self.spec
         lat = (self.img_size // self.vae_scale
                if not spec.is_pixel_space else self.img_size)
-        sample = jax.ShapeDtypeStruct(
-            (batch_size, spec.unet.in_channels, lat, lat), self.dtype)
-        ctx = jax.ShapeDtypeStruct(
-            (batch_size, 77, spec.unet.cross_attention_dim), self.dtype)
-        added = None
-        if spec.unet.addition_embed_type == 'text_time':
-            pooled_dim = (spec.text_encoders[-1].projection_dim
-                          or spec.text_encoders[-1].hidden_size)
-            added = {'text_embeds': jax.ShapeDtypeStruct((batch_size, pooled_dim), self.dtype),
-                     'time_ids': jax.ShapeDtypeStruct((batch_size, 6), self.dtype)}
-        all_unet = UNet2DConditionModel(cfg=spec.unet, dtype=self.dtype,
-                                        taps=TapSpec.all())
+        S = jax.ShapeDtypeStruct
+        if spec.family == 'flux':
+            from .models.flux import FluxTransformer2D
+            grid = lat // 2
+            all_model = FluxTransformer2D(
+                cfg=spec.dit, grid_hw=(grid, grid),
+                text_len=spec.prompt_max_length, dtype=self.dtype,
+                taps=TapSpec.all())
+            args = (S((batch_size, grid * grid, spec.dit.in_channels), self.dtype),
+                    50.0,
+                    S((batch_size, spec.prompt_max_length, spec.t5.d_model),
+                      self.dtype),
+                    S((batch_size, spec.dit.pooled_projection_dim), self.dtype))
+        elif spec.family == 'pixart':
+            from .models.dit_pixart import PixArtTransformer2D
+            all_model = PixArtTransformer2D(cfg=spec.dit, dtype=self.dtype,
+                                            taps=TapSpec.all())
+            args = (S((batch_size, spec.dit.in_channels, lat, lat), self.dtype),
+                    50.0,
+                    S((batch_size, spec.prompt_max_length, spec.t5.d_model),
+                      self.dtype),
+                    None)
+        else:
+            added = None
+            if spec.unet.addition_embed_type == 'text_time':
+                pooled_dim = (spec.text_encoders[-1].projection_dim
+                              or spec.text_encoders[-1].hidden_size)
+                added = {'text_embeds': S((batch_size, pooled_dim), self.dtype),
+                         'time_ids': S((batch_size, 6), self.dtype)}
+            all_model = UNet2DConditionModel(cfg=spec.unet, dtype=self.dtype,
+                                            taps=TapSpec.all())
+            args = (S((batch_size, spec.unet.in_channels, lat, lat), self.dtype),
+                    50.0,
+                    S((batch_size, 77, spec.unet.cross_attention_dim),
+                      self.dtype),
+                    added)
 
-        def fwd(params, sample, ctx, added):
-            return all_unet.apply({'params': params}, sample, 50.0, ctx, added,
-                                  mutable=['taps'])
+        def fwd(params, *a):
+            return all_model.apply({'params': params}, *a, mutable=['taps'])
 
-        _, tap_state = jax.eval_shape(fwd, self.params['unet'], sample, ctx, added)
+        _, tap_state = jax.eval_shape(fwd, self.params['unet'], *args)
         flat = flatten_taps(tap_state['taps'])
         from .store import tokens_to_map
         out = {}

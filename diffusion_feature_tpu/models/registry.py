@@ -24,7 +24,9 @@ from .dit_pixart import (
     PixArtConfig, PIXART_ALPHA_512, PIXART_SIGMA_512, PIXART_SIGMA_1024,
     tiny_pixart_config,
 )
-from ..schedulers import SchedulerConfig
+from .flux import FluxConfig, FLUX_DEV, tiny_flux_config
+from .vae import FLUX_VAE
+from ..schedulers import SchedulerConfig, FlowMatchConfig
 
 SD_SCHED = SchedulerConfig(beta_start=0.00085, beta_end=0.012,
                            beta_schedule='scaled_linear', steps_offset=1)
@@ -108,6 +110,14 @@ register(ModelSpec(
     scheduler='dpmsolver', scheduler_config=PIXART_SCHED, default_img_size=512,
     dit=PIXART_SIGMA_512, vae=SDXL_VAE, t5=T5_XXL, prompt_max_length=300))
 
+register(ModelSpec(
+    version='flux', family='flux',
+    hf_id='black-forest-labs/FLUX.1-dev',
+    scheduler='flowmatch', scheduler_config=FlowMatchConfig(),
+    default_img_size=1024,
+    dit=FLUX_DEV, vae=FLUX_VAE,
+    text_encoders=(CLIP_VIT_L,), t5=T5_XXL, prompt_max_length=512))
+
 # tiny offline test models
 register(ModelSpec(
     version='test-sd', family='unet', hf_id='(random-init test model)',
@@ -129,6 +139,14 @@ register(ModelSpec(
     scheduler='dpmsolver', scheduler_config=PIXART_SCHED, default_img_size=64,
     dit=tiny_pixart_config(), vae=tiny_vae_config(), t5=tiny_t5_config(),
     prompt_max_length=24))
+
+register(ModelSpec(
+    version='test-flux', family='flux', hf_id='(random-init test model)',
+    scheduler='flowmatch', scheduler_config=FlowMatchConfig(),
+    default_img_size=64,
+    dit=tiny_flux_config(), vae=tiny_vae_config(latent_channels=4),
+    text_encoders=(tiny_clip_config(32),), t5=tiny_t5_config(),
+    prompt_max_length=16))
 
 
 def get_model_spec(version: str) -> ModelSpec:

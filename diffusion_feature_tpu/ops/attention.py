@@ -66,6 +66,52 @@ def attention_with_probs(
     return merge_heads(out), probs
 
 
+def attention_with_probs_heads(
+    qh: jnp.ndarray,
+    kh: jnp.ndarray,
+    vh: jnp.ndarray,
+    *,
+    scale: Optional[float] = None,
+    mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Explicit attention on pre-split heads (B,H,S,D) returning
+    (out (B,H,Sq,D), probs (B,H,Sq,Sk)).  For RoPE-family models (Flux /
+    Hunyuan) whose q/k are modified after the head split."""
+    dtype = qh.dtype
+    scale = qh.shape[-1] ** -0.5 if scale is None else scale
+    scores = jnp.einsum('bhqd,bhkd->bhqk', qh, kh,
+                        preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        scores = scores + mask
+    probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+    out = jnp.einsum('bhqk,bhkd->bhqd', probs, vh,
+                     preferred_element_type=jnp.float32).astype(dtype)
+    return out, probs
+
+
+def attention_fused_heads(
+    qh: jnp.ndarray,
+    kh: jnp.ndarray,
+    vh: jnp.ndarray,
+    *,
+    scale: Optional[float] = None,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Fast-path attention on pre-split heads (B,H,S,D): Pallas flash kernel
+    when compatible, fused XLA softmax otherwise."""
+    dtype = qh.dtype
+    scale = qh.shape[-1] ** -0.5 if scale is None else scale
+    if mask is None:
+        try:
+            from .flash_attention import flash_attention, is_flash_compatible
+            if is_flash_compatible(qh.shape, kh.shape):
+                return flash_attention(qh, kh, vh, scale=scale).astype(dtype)
+        except ImportError:
+            pass
+    out, _ = attention_with_probs_heads(qh, kh, vh, scale=scale, mask=mask)
+    return out
+
+
 def attention_fused(
     q: jnp.ndarray,
     k: jnp.ndarray,

@@ -384,6 +384,9 @@ SCHEDULER_CLASSES = {
 }
 
 
-def make_scheduler(kind: str, config: SchedulerConfig = None):
+def make_scheduler(kind: str, config=None):
+    if kind == 'flowmatch':
+        from .flow_match import FlowMatchEulerDiscreteScheduler, FlowMatchConfig
+        return FlowMatchEulerDiscreteScheduler(config or FlowMatchConfig())
     cls = SCHEDULER_CLASSES[kind]
     return cls(config or SchedulerConfig())

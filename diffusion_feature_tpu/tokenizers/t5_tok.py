@@ -61,7 +61,8 @@ class T5SentencePieceTokenizer(T5HashTokenizer):
         return list(self.sp.encode(text))
 
 
-def load_t5_tokenizer(path: Optional[str], model_max_length: int = 120):
+def load_t5_tokenizer(path: Optional[str], model_max_length: int = 120,
+                      vocab_size: int = 32128):
     if path:
         spm_path = os.path.join(path, 'spiece.model')
         if os.path.exists(spm_path):
@@ -69,4 +70,5 @@ def load_t5_tokenizer(path: Optional[str], model_max_length: int = 120):
                 return T5SentencePieceTokenizer(spm_path, model_max_length)
             except ImportError:
                 pass
-    return T5HashTokenizer(model_max_length=model_max_length)
+    return T5HashTokenizer(vocab_size=vocab_size,
+                           model_max_length=model_max_length)
