@@ -82,7 +82,9 @@ class FeatureExtractor:
         self.feature_dtype = None if train_unet else jnp.bfloat16
 
         self.taps = TapSpec.from_config(layer)
-        self.store_vae_output = (not self.taps.accept_all) and 'vae-out' in self.taps.ids
+        self.store_vae_output = ((not self.taps.accept_all)
+                                 and 'vae-out' in self.taps.ids
+                                 and self.spec.vae is not None)
 
         # attention-store size band (reference components/attention.py:542, :569)
         if self.attention:
@@ -137,7 +139,51 @@ class FeatureExtractor:
         self.vae = AutoencoderKL(cfg=spec.vae, dtype=self.dtype) \
             if spec.vae is not None else None
 
-        if spec.family == 'flux':
+        if spec.family == 'hunyuan':
+            from .models.hunyuan import HunyuanDiT2D
+            from .models.bert_text import BertTextModel
+            from .models.t5 import T5EncoderModel
+            from .tokenizers.t5_tok import load_t5_tokenizer, T5HashTokenizer
+            import os
+            self.unet = HunyuanDiT2D(
+                cfg=spec.dit, dtype=self.dtype, taps=self.taps,
+                attn_store_sizes=self._attn_sizes)
+            self.text_encoders = (
+                BertTextModel(cfg=spec.bert, dtype=self.dtype),
+                T5EncoderModel(cfg=spec.t5, dtype=self.dtype))
+            # BERT uses a WordPiece tokenizer; offline fallback is the hash
+            # tokenizer with the BERT vocab/special ids
+            self.tokenizers = (
+                T5HashTokenizer(vocab_size=spec.bert.vocab_size,
+                                model_max_length=spec.dit.text_len),
+                load_t5_tokenizer(
+                    os.path.join(weights, 'tokenizer_2') if weights else None,
+                    model_max_length=spec.dit.text_len_t5,
+                    vocab_size=spec.t5.vocab_size))
+
+            def init_all():
+                r1, r2, r3, r4 = jax.random.split(rng, 4)
+                sample = jnp.zeros((1, spec.dit.in_channels, lat, lat),
+                                   self.dtype)
+                bert_ctx = jnp.zeros(
+                    (1, spec.dit.text_len, spec.dit.cross_attention_dim),
+                    self.dtype)
+                t5_ctx = jnp.zeros(
+                    (1, spec.dit.text_len_t5, spec.dit.cross_attention_dim_t5),
+                    self.dtype)
+                plain = HunyuanDiT2D(cfg=spec.dit, dtype=self.dtype)
+                p = {'unet': plain.init(r1, sample, 50.0, bert_ctx, None,
+                                        t5_ctx, None)['params']}
+                p['vae'] = self.vae.init(
+                    r2, jnp.zeros((1, 3, sz, sz), self.dtype),
+                    method=AutoencoderKL.full_pass)['params']
+                ids = jnp.zeros((1, spec.dit.text_len), jnp.int32)
+                t5_ids = jnp.zeros((1, spec.dit.text_len_t5), jnp.int32)
+                p['text'] = [
+                    self.text_encoders[0].init(r3, ids)['params'],
+                    self.text_encoders[1].init(r4, t5_ids)['params']]
+                return p
+        elif spec.family == 'flux':
             from .models.flux import FluxTransformer2D, pack_latents
             from .models.t5 import T5EncoderModel
             from .tokenizers.t5_tok import load_t5_tokenizer
@@ -181,6 +227,29 @@ class FeatureExtractor:
                 p['text'] = [
                     self.text_encoders[0].init(r3, ids)['params'],
                     self.text_encoders[1].init(r4, t5_ids)['params']]
+                return p
+        elif spec.family == 'if':
+            from .models.unet_if import IFUNet
+            from .models.t5 import T5EncoderModel
+            from .tokenizers.t5_tok import load_t5_tokenizer
+            import os
+            self.unet = IFUNet(cfg=spec.unet, dtype=self.dtype, taps=self.taps)
+            self.text_encoders = (T5EncoderModel(cfg=spec.t5, dtype=self.dtype),)
+            tok_dir = os.path.join(weights, 'tokenizer') if weights else None
+            self.tokenizers = (load_t5_tokenizer(
+                tok_dir, model_max_length=spec.prompt_max_length,
+                vocab_size=spec.t5.vocab_size),)
+
+            def init_all():
+                r1, r3 = jax.random.split(rng)
+                sample = jnp.zeros((1, spec.unet.in_channels, sz, sz),
+                                   self.dtype)
+                ctx = jnp.zeros((1, spec.prompt_max_length, spec.t5.d_model),
+                                self.dtype)
+                plain = IFUNet(cfg=spec.unet, dtype=self.dtype)
+                p = {'unet': plain.init(r1, sample, 50, ctx)['params']}
+                ids = jnp.zeros((1, spec.prompt_max_length), jnp.int32)
+                p['text'] = [self.text_encoders[0].init(r3, ids)['params']]
                 return p
         elif spec.family == 'pixart':
             from .models.dit_pixart import PixArtTransformer2D
@@ -298,6 +367,15 @@ class FeatureExtractor:
             # diffusion_feature.py:246-254 — extract() accepts both)
             return self._encode_flux(prompts)
 
+        if self.spec.family == 'hunyuan':
+            return self._encode_hunyuan(prompts)
+
+        if self.spec.family == 'if':
+            # T5 embeds, 2-tuple unpacking path (diffusion_feature.py:189-194)
+            pe, _ = self._encode_t5(prompts)
+            ne, _ = self._encode_t5(negative)
+            return pe, ne, None, None
+
         if len(prompts.split(' ')) > 70:
             pe, ne = encode_long_prompt(self, prompts, negative)
             return pe, ne, None, None
@@ -325,6 +403,22 @@ class FeatureExtractor:
         pe = self.text_encoders[1].apply(
             {'params': self.params['text'][1]}, jnp.asarray(t5_ids, jnp.int32))
         return pe, None, pooled, None
+
+    def _encode_hunyuan(self, text: str):
+        """Returns (bert_embeds, bert_mask, t5_embeds, t5_mask) — the dual
+        conditioning the HunyuanDiT pipeline feeds the transformer."""
+        bert_tok, t5_tok = self.tokenizers
+        ids, mask = bert_tok([text])
+        ids = jnp.asarray(ids, jnp.int32)
+        mask = jnp.asarray(mask, jnp.int32)
+        bert_emb = self.text_encoders[0].apply(
+            {'params': self.params['text'][0]}, ids, mask)
+        t5_ids, t5_mask = t5_tok([text])
+        t5_ids = jnp.asarray(t5_ids, jnp.int32)
+        t5_mask = jnp.asarray(t5_mask, jnp.int32)
+        t5_emb = self.text_encoders[1].apply(
+            {'params': self.params['text'][1]}, t5_ids, t5_mask)
+        return (bert_emb, mask), (t5_emb, t5_mask)
 
     def _encode_one(self, text: str):
         spec = self.spec
@@ -378,6 +472,12 @@ class FeatureExtractor:
             # pipeline-driven single-step path (reference
             # diffusion_feature.py:246-254): accepts the raw prompt string
             return self._extract_flux(prompts, batch_size, image, image_type, t)
+
+        if spec.family == 'hunyuan':
+            # pipeline-driven single-step path (reference :236-244; overlay
+            # pipeline_hunyuandit.py:1080 early return)
+            return self._extract_hunyuan(prompts, batch_size, image,
+                                         image_type, t)
 
         enc_mask = None
         if spec.family == 'pixart':
@@ -448,6 +548,70 @@ class FeatureExtractor:
             self._background_feats = select_background_encounters(
                 feats, self.store_idx)
         return feats
+
+    def _extract_hunyuan(self, prompts, batch_size: int, image,
+                         image_type: str, t: int):
+        if isinstance(prompts, str):
+            prompts = self._encode_hunyuan(prompts)
+        (bert_emb, bert_mask), (t5_emb, t5_mask) = prompts
+
+        def bcast(x):
+            return jnp.broadcast_to(jnp.asarray(x),
+                                    (batch_size,) + tuple(np.shape(x)[1:]))
+        bert_emb, bert_mask = bcast(bert_emb), bcast(bert_mask)
+        t5_emb, t5_mask = bcast(t5_emb), bcast(t5_mask)
+        if image_type == 'image':
+            img = preprocess_pil_batch(image, self.img_size)
+        else:
+            img = resize_tensor_batch(image, self.img_size)
+        img = jnp.asarray(img, self.dtype)
+        self._rng, step_rng = jax.random.split(self._rng)
+        feats = self._get_hunyuan_step_fn(int(t))(
+            self.params, img, bert_emb, bert_mask, t5_emb, t5_mask, step_rng)
+        if self.store_idx is not None:
+            self._background_feats = select_background_encounters(
+                feats, self.store_idx)
+        return feats
+
+    @functools.lru_cache(maxsize=32)
+    def _get_hunyuan_step_fn(self, t: int, num_inference_steps: int = 50):
+        """VAE encode -> DDPM add_noise at the img2img timestep -> ONE
+        HunyuanDiT forward with taps (the reference pipeline's first-step
+        early return)."""
+        sched = self.scheduler
+        state = sched.set_timesteps(num_inference_steps)
+        timesteps, _ = sched.get_timesteps(state, num_inference_steps, t / 1000)
+        latent_t = int(timesteps[0])
+
+        vae = self.vae
+        unet = self.unet
+        spec = self.spec
+        resize_ratio = self.feature_resize
+        feature_dtype = self.feature_dtype
+        img_size = self.img_size
+        attention_sel = self.attention
+
+        def step(params, img, bert_emb, bert_mask, t5_emb, t5_mask, rng):
+            r1, r2 = jax.random.split(rng)
+            latents = vae.apply({'params': params['vae']}, img, r1)
+            noise = jax.random.normal(r2, latents.shape, latents.dtype)
+            latents = sched.add_noise(state, latents, noise, latent_t)
+            out, tap_state = unet.apply(
+                {'params': params['unet']}, latents, float(latent_t),
+                bert_emb, bert_mask, t5_emb, t5_mask,
+                mutable=['taps', 'attn_store'])
+            taps = flatten_taps(tap_state.get('taps', {}))
+            feats = postprocess_taps(taps, resize_ratio=resize_ratio,
+                                     out_dtype=feature_dtype)
+            if attention_sel:
+                agg = _aggregate_attention(
+                    flatten_taps(tap_state.get('attn_store', {})),
+                    attention_sel, img_size, feature_dtype)
+                if agg is not None:
+                    feats['attn'] = agg
+            return feats
+
+        return jax.jit(step)
 
     @functools.lru_cache(maxsize=32)
     def _get_flux_step_fn(self, t: int, num_inference_steps: int = 28):
@@ -535,7 +699,8 @@ class FeatureExtractor:
 
         is_pixart = spec.family == 'pixart'
         added_static = (spec.unet is not None
-                        and spec.unet.addition_embed_type == 'text_time')
+                        and getattr(spec.unet, 'addition_embed_type', None)
+                        == 'text_time')
 
         def added_cond(pooled, bsz):
             if not added_static:
@@ -648,11 +813,32 @@ class FeatureExtractor:
                     S((batch_size, spec.prompt_max_length, spec.t5.d_model),
                       self.dtype),
                     S((batch_size, spec.dit.pooled_projection_dim), self.dtype))
+        elif spec.family == 'hunyuan':
+            from .models.hunyuan import HunyuanDiT2D
+            all_model = HunyuanDiT2D(cfg=spec.dit, dtype=self.dtype,
+                                     taps=TapSpec.all())
+            args = (S((batch_size, spec.dit.in_channels, lat, lat), self.dtype),
+                    50.0,
+                    S((batch_size, spec.dit.text_len,
+                       spec.dit.cross_attention_dim), self.dtype),
+                    None,
+                    S((batch_size, spec.dit.text_len_t5,
+                       spec.dit.cross_attention_dim_t5), self.dtype),
+                    None)
         elif spec.family == 'pixart':
             from .models.dit_pixart import PixArtTransformer2D
             all_model = PixArtTransformer2D(cfg=spec.dit, dtype=self.dtype,
                                             taps=TapSpec.all())
             args = (S((batch_size, spec.dit.in_channels, lat, lat), self.dtype),
+                    50.0,
+                    S((batch_size, spec.prompt_max_length, spec.t5.d_model),
+                      self.dtype),
+                    None)
+        elif spec.family == 'if':
+            from .models.unet_if import IFUNet
+            all_model = IFUNet(cfg=spec.unet, dtype=self.dtype,
+                               taps=TapSpec.all())
+            args = (S((batch_size, spec.unet.in_channels, lat, lat), self.dtype),
                     50.0,
                     S((batch_size, spec.prompt_max_length, spec.t5.d_model),
                       self.dtype),

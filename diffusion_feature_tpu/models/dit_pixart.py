@@ -146,7 +146,7 @@ class PixArtTransformer2D(nn.Module):
 
         store = None
         if self.attn_store_sizes is not None:
-            store = AttnStoreCfg('mid', *self.attn_store_sizes)
+            store = AttnStoreCfg('up', *self.attn_store_sizes)
 
         # 1. patchify + position embed
         x = jnp.transpose(sample, (0, 2, 3, 1)).astype(self.dtype)

@@ -400,7 +400,7 @@ class FluxTransformer2D(nn.Module):
                  pooled_projections, guidance=None):
         cfg = self.cfg
         b = hidden_states.shape[0]
-        store = (AttnStoreCfg('mid', *self.attn_store_sizes)
+        store = (AttnStoreCfg('up', *self.attn_store_sizes)
                  if self.attn_store_sizes is not None else None)
 
         x = nn.Dense(cfg.inner_dim, dtype=self.dtype,

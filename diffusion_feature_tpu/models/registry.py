@@ -25,6 +25,9 @@ from .dit_pixart import (
     tiny_pixart_config,
 )
 from .flux import FluxConfig, FLUX_DEV, tiny_flux_config
+from .hunyuan import HunyuanConfig, HUNYUAN_DIT, tiny_hunyuan_config
+from .unet_if import IFUNetConfig, IF_I_L, tiny_if_config
+from .bert_text import BertConfig, HUNYUAN_BERT, tiny_bert_config
 from .vae import FLUX_VAE
 from ..schedulers import SchedulerConfig, FlowMatchConfig
 
@@ -55,6 +58,7 @@ class ModelSpec:
     #   'final' -> final LN output; 'penultimate' -> hidden_states[-2]
     clip_layer: str = 'final'
     t5: Optional[T5Config] = None      # DiT-family text encoder
+    bert: Optional[BertConfig] = None  # HunyuanDiT text encoder
     prompt_max_length: int = 77
 
 
@@ -111,6 +115,29 @@ register(ModelSpec(
     dit=PIXART_SIGMA_512, vae=SDXL_VAE, t5=T5_XXL, prompt_max_length=300))
 
 register(ModelSpec(
+    version='if', family='if',
+    hf_id='DeepFloyd/IF-I-L-v1.0',
+    scheduler='ddpm', scheduler_config=IF_SCHED, default_img_size=64,
+    unet=IF_I_L, vae=None, t5=T5_XXL, is_pixel_space=True,
+    prompt_max_length=77))
+
+# HunyuanDiT-Diffusers scheduler config (DDPM, scaled_linear 0.00085-0.03,
+# v-prediction, steps_offset 1)
+HUNYUAN_SCHED = SchedulerConfig(beta_start=0.00085, beta_end=0.03,
+                                beta_schedule='scaled_linear',
+                                prediction_type='v_prediction',
+                                steps_offset=1)
+
+register(ModelSpec(
+    version='hunyuan', family='hunyuan',
+    hf_id='Tencent-Hunyuan/HunyuanDiT-Diffusers',
+    scheduler='ddpm', scheduler_config=HUNYUAN_SCHED, default_img_size=1024,
+    dit=HUNYUAN_DIT, vae=SDXL_VAE, bert=HUNYUAN_BERT,
+    t5=T5Config(vocab_size=250112, d_model=2048, d_ff=5120,
+                num_layers=24, num_heads=32, d_kv=64),
+    prompt_max_length=77))
+
+register(ModelSpec(
     version='flux', family='flux',
     hf_id='black-forest-labs/FLUX.1-dev',
     scheduler='flowmatch', scheduler_config=FlowMatchConfig(),
@@ -139,6 +166,18 @@ register(ModelSpec(
     scheduler='dpmsolver', scheduler_config=PIXART_SCHED, default_img_size=64,
     dit=tiny_pixart_config(), vae=tiny_vae_config(), t5=tiny_t5_config(),
     prompt_max_length=24))
+
+register(ModelSpec(
+    version='test-if', family='if', hf_id='(random-init test model)',
+    scheduler='ddpm', scheduler_config=IF_SCHED, default_img_size=32,
+    unet=tiny_if_config(), vae=None, t5=tiny_t5_config(),
+    is_pixel_space=True, prompt_max_length=8))
+
+register(ModelSpec(
+    version='test-hunyuan', family='hunyuan', hf_id='(random-init test model)',
+    scheduler='ddpm', scheduler_config=HUNYUAN_SCHED, default_img_size=64,
+    dit=tiny_hunyuan_config(), vae=tiny_vae_config(), bert=tiny_bert_config(),
+    t5=tiny_t5_config(), prompt_max_length=8))
 
 register(ModelSpec(
     version='test-flux', family='flux', hf_id='(random-init test model)',

@@ -90,7 +90,7 @@ class TestFluxExtract:
     def test_attention_store_aggregation(self):
         fe = FeatureExtractor(layer={'vit-block0-out': True},
                               version='test-flux', img_size=64,
-                              dtype='float32', attention=['mid_cross'],
+                              dtype='float32', attention=['up_cross'],
                               attn_store_sizes=(2, 30))
         feats = fe.extract('a cat', 1, [make_image()], t=500)
         assert 'attn' in feats
