@@ -785,6 +785,125 @@ class FeatureExtractor:
 
         return jax.jit(step)
 
+    # --------------------------------------------------------------- sampling
+    def sample(self, prompts, batch_size: int = 1,
+               num_inference_steps: int = 50, guidance_scale: float = 7.5,
+               return_features: bool = True):
+        """Full text2img generation with taps firing at every denoise step —
+        the substrate for background extraction (reference
+        generate_with_extraction.py: a stock StableDiffusionPipeline run with
+        the store capturing selected U-Net-call encounters).
+
+        Returns (images (B,3,H,W) in [0,1], features) where features maps
+        layer -> tuple of per-encounter tensors (CFG-doubled batch, exactly
+        what the reference's store sees).  With set_background_extraction()
+        active, get_background_extraction() returns the filtered
+        {layer: {step_idx: tensor}} view afterwards.
+        """
+        spec = self.spec
+        if spec.family not in ('unet', 'if'):
+            raise NotImplementedError(
+                'sampling loop is implemented for the U-Net families '
+                '(the reference demo uses SD-1.5)')
+        pe, ne, pooled, neg_pooled = prompts
+
+        def bcast(x):
+            if x is None:
+                return None
+            return jnp.broadcast_to(jnp.asarray(x, self.dtype),
+                                    (batch_size,) + tuple(np.shape(x)[1:]))
+        pe, ne = bcast(pe), bcast(ne)
+        pooled, neg_pooled = bcast(pooled), bcast(neg_pooled)
+        self._rng, rng = jax.random.split(self._rng)
+        fn = self._get_sample_fn(int(num_inference_steps),
+                                 float(guidance_scale))
+        images, feats = fn(self.params, pe, ne, pooled, neg_pooled, rng)
+        if self.store_idx is not None:
+            self._background_feats = select_background_encounters(
+                feats, self.store_idx)
+        return images, (feats if return_features else None)
+
+    @functools.lru_cache(maxsize=8)
+    def _get_sample_fn(self, num_inference_steps: int, guidance_scale: float):
+        spec = self.spec
+        sched = self.scheduler
+        state0 = sched.set_timesteps(num_inference_steps)
+        timesteps = list(state0.timesteps)
+        do_cfg = guidance_scale > 1.0
+        unet = self.unet
+        vae = self.vae
+        lat = (self.img_size // self.vae_scale
+               if not spec.is_pixel_space else self.img_size)
+        lat_ch = (spec.unet.in_channels if spec.unet is not None
+                  else spec.vae.latent_channels)
+        added_static = (spec.unet is not None
+                        and getattr(spec.unet, 'addition_embed_type', None)
+                        == 'text_time')
+        img_size = self.img_size
+
+        def added_cond(pooled, neg_pooled, bsz):
+            if not added_static:
+                return None
+            s = float(img_size)
+            time_ids = jnp.asarray(
+                [[s, s, 0.0, 0.0, s, s]], self.dtype).repeat(
+                2 * bsz if do_cfg else bsz, axis=0)
+            pp = (jnp.concatenate([neg_pooled, pooled]) if do_cfg else pooled)
+            return {'text_embeds': pp, 'time_ids': time_ids}
+
+        def run(params, pe, ne, pooled, neg_pooled, rng):
+            bsz = pe.shape[0]
+            rng, r0 = jax.random.split(rng)
+            latents = jax.random.normal(
+                r0, (bsz, lat_ch, lat, lat), self.dtype)
+            latents = latents * jnp.asarray(sched.init_noise_sigma,
+                                            self.dtype)
+            ctx = jnp.concatenate([ne, pe]) if do_cfg else pe
+            added = added_cond(pooled, neg_pooled, bsz)
+
+            st = state0
+            tap_states = []
+            for t in timesteps:
+                model_in = (jnp.concatenate([latents] * 2)
+                            if do_cfg else latents)
+                model_in = sched.scale_model_input(st, model_in, t)
+                out, tap_state = unet.apply(
+                    {'params': params['unet']}, model_in, float(t), ctx,
+                    added, mutable=['taps'])
+                tap_states.append(tap_state.get('taps', {}))
+                if out.shape[1] != latents.shape[1]:
+                    out = out[:, :latents.shape[1]]  # learned variance half
+                if do_cfg:
+                    uncond, cond = jnp.split(out, 2)
+                    out = uncond + guidance_scale * (cond - uncond)
+                from .schedulers.diffusion import DDPMScheduler
+                if isinstance(sched, DDPMScheduler):
+                    rng, rn = jax.random.split(rng)
+                    noise = jax.random.normal(rn, latents.shape, latents.dtype)
+                    latents, st = sched.step(st, out, t, latents, noise)
+                else:
+                    latents, st = sched.step(st, out, t, latents)
+
+            if vae is not None and not spec.is_pixel_space:
+                images = vae.apply(
+                    {'params': params['vae']},
+                    latents / spec.vae.scaling_factor + spec.vae.shift_factor,
+                    method=AutoencoderKL.decode)
+            else:
+                images = latents
+            images = jnp.clip(images / 2 + 0.5, 0.0, 1.0)
+
+            # merge per-step tap pytrees into encounter tuples
+            merged: Dict[str, tuple] = {}
+            for ts_tree in tap_states:
+                flat = flatten_taps(ts_tree)
+                for k, v in flat.items():
+                    vs = v if isinstance(v, tuple) else (v,)
+                    merged[k] = merged.get(k, ()) + vs
+            return images, merged
+
+        return jax.jit(run)
+
     # ------------------------------------------------------------- background
     def set_background_extraction(self, idxs):
         self.store_idx = list(idxs)

@@ -76,8 +76,11 @@ class TapSpec:
         if config is None:
             return TapSpec.all()
         if isinstance(config, str):
-            with open(config, 'r') as f:
-                config = json.load(f)
+            if config.lstrip().startswith('{'):
+                config = json.loads(config)        # inline JSON
+            else:
+                with open(config, 'r') as f:
+                    config = json.load(f)
         if isinstance(config, Mapping):
             ids = frozenset(k for k, v in config.items() if v)
         elif isinstance(config, Iterable):

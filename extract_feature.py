@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from diffusion_feature_tpu import FeatureExtractor  # noqa: E402
 from diffusion_feature_tpu.io.dump import save_batch  # noqa: E402
+from diffusion_feature_tpu.configs import resolve_layer_config  # noqa: E402
 
 
 def build_parser():
@@ -71,7 +72,7 @@ def main(argv=None):
         args.layer = None
 
     df = FeatureExtractor(
-        args.layer,
+        resolve_layer_config(args.layer),
         args.version,
         dtype=args.dtype,
         offline_lora=args.offline_lora,
