@@ -54,6 +54,13 @@ def aggregate_features(features: Dict[str, np.ndarray]) -> np.ndarray:
     return np.concatenate(resized, axis=1)
 
 
+def _write(path: str, arr: np.ndarray, writer=None):
+    if writer is not None:
+        writer.submit(path, arr)
+    else:
+        np.save(path, arr)
+
+
 def save_batch(
     features: Dict[str, np.ndarray],
     out_dir: str,
@@ -66,8 +73,12 @@ def save_batch(
     aggregate_output: bool = False,
     nested: bool = False,
     dtype=np.float16,
+    writer=None,
 ) -> List[str]:
-    """Write one extracted batch to disk; returns the written paths."""
+    """Write one extracted batch to disk; returns the written paths.
+
+    ``writer``: optional native AsyncDumpWriter — IO then overlaps the next
+    batch's device compute (caller must flush()/close())."""
     written = []
     some = next(iter(features.values()))
     batch = np.asarray(some).shape[0]
@@ -86,7 +97,7 @@ def save_batch(
             else:
                 os.makedirs(out_dir, exist_ok=True)
             path = os.path.join(out_dir, name + '.npy')
-            np.save(path, _as_numpy(agg[j], dtype))
+            _write(path, _as_numpy(agg[j], dtype), writer)
             written.append(path)
         return written
 
@@ -106,6 +117,6 @@ def save_batch(
                 d = os.path.join(out_dir, layer)
                 path = os.path.join(d, name + '.npy')
             os.makedirs(d, exist_ok=True)
-            np.save(path, feat)
+            _write(path, feat, writer)
             written.append(path)
     return written

@@ -1,0 +1,85 @@
+"""Segmentation losses: cross-entropy + Lovasz-softmax.
+
+The reference's decode head optimizes CE (weight 1.0) + LovaszLoss
+(reduction='none', weight 1.0) and the auxiliary head 0.4x CE
+(segmentation/configs/ade_sdxl.py:29-45).  Lovasz-softmax follows the
+original Berman et al. algorithm (per-image, 'present' classes), matching
+mmseg's LovaszLoss defaults.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+IGNORE_INDEX = 255
+
+
+def cross_entropy_loss(logits: jnp.ndarray, labels: jnp.ndarray,
+                       ignore_index: int = IGNORE_INDEX) -> jnp.ndarray:
+    """logits (B, C, H, W), labels (B, H, W) int."""
+    b, c, h, w = logits.shape
+    lg = logits.transpose(0, 2, 3, 1).reshape(-1, c)
+    lb = labels.reshape(-1)
+    valid = lb != ignore_index
+    lb_safe = jnp.where(valid, lb, 0)
+    ce = optax.softmax_cross_entropy_with_integer_labels(lg, lb_safe)
+    return jnp.sum(ce * valid) / jnp.maximum(jnp.sum(valid), 1)
+
+
+def _lovasz_grad(gt_sorted: jnp.ndarray) -> jnp.ndarray:
+    """Gradient of the Lovasz extension w.r.t. sorted errors."""
+    gts = jnp.sum(gt_sorted)
+    n = gt_sorted.shape[0]
+    intersection = gts - jnp.cumsum(gt_sorted)
+    union = gts + jnp.cumsum(1.0 - gt_sorted)
+    jaccard = 1.0 - intersection / union
+    return jnp.concatenate([jaccard[:1], jaccard[1:] - jaccard[:-1]])
+
+
+def lovasz_softmax_loss(logits: jnp.ndarray, labels: jnp.ndarray,
+                        ignore_index: int = IGNORE_INDEX) -> jnp.ndarray:
+    """Per-image Lovasz-softmax over present classes, averaged over batch.
+
+    Static-shape formulation for XLA: ignored pixels get zero error and are
+    sorted to the tail; class presence masks the per-class mean.
+    """
+    b, c, h, w = logits.shape
+    probs = jax.nn.softmax(logits.transpose(0, 2, 3, 1).reshape(b, -1, c),
+                           axis=-1)
+    lb = labels.reshape(b, -1)
+    valid = (lb != ignore_index)
+    lb_safe = jnp.where(valid, lb, 0)
+
+    def per_image(p, y, v):
+        def per_class(cls):
+            fg = ((y == cls) & v).astype(jnp.float32)
+            present = fg.sum() > 0
+            errors = jnp.abs(fg - p[:, cls]) * v.astype(jnp.float32)
+            order = jnp.argsort(-errors)
+            errors_sorted = errors[order]
+            fg_sorted = fg[order]
+            loss_c = jnp.sum(errors_sorted * _lovasz_grad(fg_sorted))
+            return jnp.where(present, loss_c, 0.0), present
+
+        losses, present = jax.vmap(per_class)(jnp.arange(c))
+        return jnp.sum(losses) / jnp.maximum(jnp.sum(present), 1)
+
+    return jax.vmap(per_image)(probs, lb_safe, valid).mean()
+
+
+def segmentation_loss(decode_logits, aux_logits, labels,
+                      aux_weight: float = 0.4,
+                      ignore_index: int = IGNORE_INDEX):
+    """The reference's full objective: decode CE + Lovasz, aux 0.4 CE.
+    Returns (total, dict of parts)."""
+    loss_ce = cross_entropy_loss(decode_logits, labels, ignore_index)
+    loss_lovasz = lovasz_softmax_loss(decode_logits, labels, ignore_index)
+    parts = {'loss_ce': loss_ce, 'loss_lovasz': loss_lovasz}
+    total = loss_ce + loss_lovasz
+    if aux_logits is not None:
+        loss_aux = cross_entropy_loss(aux_logits, labels, ignore_index)
+        parts['loss_ce_aux'] = loss_aux
+        total = total + aux_weight * loss_aux
+    return total, parts

@@ -1,0 +1,232 @@
+"""DiffusionSegmentor: frozen diffusion features -> adapters -> UPerNet.
+
+Reference: segmentation/models/diffusion_segmentor.py (mmseg BaseSegmentor
+subclass).  This is a native orchestrator instead of an mmseg plugin: the
+trainable state (per-layer ResBlock adapters + per-level sum adapters +
+UPerHead + FCNHead (+ optional prompt-tuning embeddings)) is one Flax module
+whose params/batch_stats form a pure pytree; the diffusion extractor stays
+frozen and its jitted extraction program is shared across steps.
+
+Semantics preserved:
+  - random t from the configured list during training, first element at test
+    (:212-217); random control on/off likewise (:218-223)
+  - adapters run fp32 regardless of extraction dtype (:233-246)
+  - per-level channel-concat then sum-ResBlock (:233-246)
+  - prompt tuning replaces prompt embeds with trainable tensors (:109-126)
+  - sliding-window inference with logit accumulation (:421-472)
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...facade import FeatureExtractor
+from ...io.images import resize_tensor_batch
+from .heads import FCNHead, ResBlockAdapter, UPerHead
+from .losses import segmentation_loss
+
+
+def _san(layer_id: str) -> str:
+    return layer_id.replace('-', '_')
+
+
+class SegHead(nn.Module):
+    """Adapters + decode/aux heads as one trainable module.
+
+    ``feature_layers``: per level, a tuple of (layer_id, channels)
+    (config ade_sdxl.py:60-63).
+    """
+    feature_layers: Tuple[Tuple[Tuple[str, int], ...], ...]
+    num_classes: int = 150
+    head_channels: int = 512
+    pool_scales: Tuple[int, ...] = (1, 2)
+    aux_in_index: int = -1
+    dropout_ratio: float = 0.1
+
+    @nn.compact
+    def __call__(self, features: Dict[str, jnp.ndarray], train: bool = False,
+                 dropout_rng=None):
+        outs = []
+        for level, res_level in enumerate(self.feature_layers):
+            per = []
+            for lid, ch in res_level:
+                f = features[lid].astype(jnp.float32)
+                per.append(ResBlockAdapter(
+                    ch, name=f'adapter_{_san(lid)}')(f, train))
+            x = jnp.concatenate(per, axis=1)
+            x = ResBlockAdapter(x.shape[1], name=f'sum{level}')(x, train)
+            outs.append(x)
+
+        in_channels = tuple(sum(c for _, c in lvl)
+                            for lvl in self.feature_layers)
+        r1 = r2 = None
+        if dropout_rng is not None:
+            r1, r2 = jax.random.split(dropout_rng)
+        decode = UPerHead(in_channels=in_channels,
+                          channels=self.head_channels,
+                          pool_scales=self.pool_scales,
+                          num_classes=self.num_classes,
+                          dropout_ratio=self.dropout_ratio,
+                          name='decode_head')(outs, train, r1)
+        aux = FCNHead(channels=self.head_channels,
+                      num_classes=self.num_classes,
+                      dropout_ratio=self.dropout_ratio,
+                      name='auxiliary_head')(outs[self.aux_in_index], train, r2)
+        return decode, aux
+
+
+class DiffusionSegmentor:
+    """Host orchestrator: frozen FeatureExtractor(s) + trainable SegHead."""
+
+    def __init__(self, diffusion_feature: dict, feature_layers,
+                 num_classes: int = 150, head_channels: int = 512,
+                 pool_scales=(1, 2), prompt: str = '',
+                 prompt_tuning: bool = False, weights=None, seed: int = 0):
+        self.feature_layers = tuple(
+            tuple((lid, ch) for lid, ch in lvl) for lvl in feature_layers)
+        self.t = diffusion_feature['t']
+        self.use_control_choices = None
+        control = diffusion_feature.get('control')
+        self.extractor = FeatureExtractor(
+            layer=diffusion_feature['layer'],
+            version=diffusion_feature['version'],
+            attention=diffusion_feature.get('attention'),
+            img_size=diffusion_feature['img_size'],
+            train_unet=diffusion_feature.get('train_unet', False),
+            dtype=diffusion_feature.get(
+                'dtype',
+                'float32' if prompt_tuning else 'bfloat16'),
+            control=control[0] if control else None,
+            offline_lora=diffusion_feature.get('offline_lora'),
+            weights=weights,
+        )
+        if control:
+            n = control[1] if len(control) > 1 else 0
+            self.use_control_choices = ([True] * n + [False]) if n > 0 else [True]
+        self.prompt_embeds = self.extractor.encode_prompt(prompt)
+        self.extractor.offload_prompt_encoder(persistent=True)
+
+        self.prompt_tuning = prompt_tuning
+        self.head = SegHead(feature_layers=self.feature_layers,
+                            num_classes=num_classes,
+                            head_channels=head_channels,
+                            pool_scales=tuple(pool_scales))
+        self._seed = seed
+        self._rng = random.Random(seed)
+
+    # ------------------------------------------------------------------ init
+    def init_state(self, rng=None):
+        rng = rng if rng is not None else jax.random.PRNGKey(self._seed)
+        imgs = np.zeros((1, 3, 64, 64), np.float32)
+        feats = self.extract_features(jnp.asarray(imgs), is_test=True)
+        variables = self.head.init(rng, feats, train=False)
+        params = {'head': variables['params']}
+        if self.prompt_tuning:
+            # trainable prompt replacements (reference :109-126): the text
+            # embedding and, when present, the pooled embedding
+            pe = list(self.prompt_embeds)
+            params['meta_prompt'] = jnp.asarray(pe[0], jnp.float32)
+            if pe[2] is not None:
+                params['meta_pooled'] = jnp.asarray(pe[2], jnp.float32)
+        return params, variables.get('batch_stats', {})
+
+    # -------------------------------------------------------------- features
+    def _pick_t(self, is_test: bool) -> int:
+        if isinstance(self.t, (list, tuple)):
+            return self.t[0] if is_test else self._rng.choice(self.t)
+        return self.t
+
+    def _pick_control(self, is_test: bool) -> bool:
+        if self.use_control_choices is None:
+            return False
+        return True if is_test else self._rng.choice(self.use_control_choices)
+
+    def extract_features(self, images: jnp.ndarray, is_test: bool = False,
+                         params: Optional[dict] = None) -> Dict[str, jnp.ndarray]:
+        """images (B, 3, H, W) in [-1, 1] -> {layer: (B, C, h, w)} frozen
+        features.  With prompt tuning, ``params['meta_prompt']`` overrides
+        the text conditioning and gradients flow through the extractor's
+        jitted step."""
+        prompts = self.prompt_embeds
+        if self.prompt_tuning and params is not None:
+            pe = list(prompts)
+            pe[0] = params['meta_prompt']
+            if 'meta_pooled' in params:
+                pe[2] = params['meta_pooled']
+            prompts = tuple(pe)
+        feats = self.extractor.extract(
+            prompts=prompts,
+            batch_size=images.shape[0],
+            image=images,
+            image_type='tensors',
+            t=self._pick_t(is_test),
+            use_control=self._pick_control(is_test),
+        )
+        if not self.prompt_tuning:
+            feats = jax.tree.map(jax.lax.stop_gradient, feats)
+        return feats
+
+    # ------------------------------------------------------------------ loss
+    def loss(self, params, batch_stats, images, labels, dropout_rng):
+        """Full training objective at label resolution (mmseg semantics:
+        logits upsampled to the label map before the loss)."""
+        feats = self.extract_features(images, is_test=False, params=params)
+        (decode, aux), updates = self.head.apply(
+            {'params': params['head'], 'batch_stats': batch_stats},
+            feats, train=True, dropout_rng=dropout_rng,
+            mutable=['batch_stats'])
+        hw = labels.shape[-2:]
+
+        def up(x):
+            b, c = x.shape[:2]
+            return jax.image.resize(x, (b, c) + tuple(hw), method='bilinear')
+
+        total, parts = segmentation_loss(up(decode), up(aux), labels)
+        return total, (parts, updates['batch_stats'])
+
+    # ------------------------------------------------------------- inference
+    def predict_logits(self, params, batch_stats, images) -> jnp.ndarray:
+        feats = self.extract_features(images, is_test=True, params=params)
+        decode, _ = self.head.apply(
+            {'params': params['head'], 'batch_stats': batch_stats},
+            feats, train=False)
+        b, c = decode.shape[:2]
+        return jax.image.resize(
+            decode, (b, c) + tuple(images.shape[-2:]), method='bilinear')
+
+    def slide_inference(self, params, batch_stats, images,
+                        crop_size=(512, 512), stride=(512, 512)) -> jnp.ndarray:
+        """Sliding-window logits (reference slide_inference :421-472):
+        accumulate crop logits and normalize by visit counts."""
+        b, _, H, W = images.shape
+        ch, cw = crop_size
+        sh, sw = stride
+        num_classes = self.head.num_classes
+        preds = jnp.zeros((b, num_classes, H, W), jnp.float32)
+        count = jnp.zeros((1, 1, H, W), jnp.float32)
+        h_grids = max(H - ch + sh - 1, 0) // sh + 1
+        w_grids = max(W - cw + sw - 1, 0) // sw + 1
+        for i in range(h_grids):
+            for j in range(w_grids):
+                y1, x1 = i * sh, j * sw
+                y2, x2 = min(y1 + ch, H), min(x1 + cw, W)
+                y1, x1 = max(y2 - ch, 0), max(x2 - cw, 0)
+                crop = images[:, :, y1:y2, x1:x2]
+                logits = self.predict_logits(params, batch_stats, crop)
+                preds = preds.at[:, :, y1:y2, x1:x2].add(logits)
+                count = count.at[:, :, y1:y2, x1:x2].add(1.0)
+        return preds / count
+
+    def predict(self, params, batch_stats, images, mode: str = 'whole',
+                **kw) -> np.ndarray:
+        if mode == 'slide':
+            logits = self.slide_inference(params, batch_stats, images, **kw)
+        else:
+            logits = self.predict_logits(params, batch_stats, images)
+        return np.asarray(jnp.argmax(logits, axis=1))

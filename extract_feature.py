@@ -121,6 +121,11 @@ def main(argv=None):
     else:
         prompts = prompts_text
 
+    from diffusion_feature_tpu.native import AsyncDumpWriter
+    writer = AsyncDumpWriter(n_threads=4)
+    if writer.is_native:
+        print('native async dump writer active')
+
     i = 0
     while i < len(imgs):
         batch_paths = imgs[i:i + args.batch_size]
@@ -143,9 +148,11 @@ def main(argv=None):
             sample_name_first=args.sample_name_first,
             aggregate_output=args.aggregate_output,
             nested=args.nested_input_dir,
+            writer=writer,
         )
         i += len(sublist)
         print(f'{i}/{len(imgs)}')
+    writer.close()
 
 
 if __name__ == '__main__':

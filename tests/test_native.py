@@ -1,0 +1,67 @@
+"""Native async dump writer: compile, round-trip, error handling."""
+
+import os
+
+import numpy as np
+import pytest
+
+from diffusion_feature_tpu.native import AsyncDumpWriter, native_available
+from diffusion_feature_tpu.native.dump_writer import npy_header
+
+
+class TestNpyHeader:
+    def test_header_parses_back(self, tmp_path):
+        arr = np.random.RandomState(0).rand(3, 5, 7).astype(np.float16)
+        path = str(tmp_path / 'x.npy')
+        with open(path, 'wb') as f:
+            f.write(npy_header(arr))
+            f.write(arr.tobytes())
+        back = np.load(path)
+        assert back.dtype == np.float16 and back.shape == (3, 5, 7)
+        assert np.array_equal(back, arr)
+
+    def test_header_alignment(self):
+        arr = np.zeros((2, 2), np.float32)
+        h = npy_header(arr)
+        assert len(h) % 64 == 0
+
+
+class TestAsyncDumpWriter:
+    def test_native_builds(self):
+        # g++ is baked into the image; the native path must be live
+        assert native_available()
+
+    def test_round_trip(self, tmp_path):
+        w = AsyncDumpWriter(n_threads=2)
+        assert w.is_native
+        arrays = {f'a{i}': np.random.RandomState(i).rand(4, 8).astype(np.float16)
+                  for i in range(6)}
+        for name, arr in arrays.items():
+            w.submit(str(tmp_path / 'nested' / f'{name}.npy'), arr)
+        w.flush()
+        for name, arr in arrays.items():
+            back = np.load(str(tmp_path / 'nested' / f'{name}.npy'))
+            assert np.array_equal(back, arr)
+        w.close()
+
+    def test_flush_raises_on_unwritable(self, tmp_path):
+        w = AsyncDumpWriter(n_threads=1)
+        if not w.is_native:
+            pytest.skip('no native lib')
+        # a path under a file (not a dir) cannot be created
+        blocker = tmp_path / 'file'
+        blocker.write_text('x')
+        w.submit(str(blocker / 'sub' / 'y.npy'), np.zeros(3, np.float32))
+        with pytest.raises(IOError):
+            w.flush()
+        w._pool = None   # drop without re-flushing the failed state
+
+    def test_save_batch_with_writer(self, tmp_path):
+        from diffusion_feature_tpu.io.dump import save_batch
+        feats = {'layer-a': np.random.rand(2, 3, 4, 4).astype(np.float32)}
+        with AsyncDumpWriter(2) as w:
+            paths = save_batch(feats, str(tmp_path), batch_start_index=0,
+                               writer=w)
+        for p in paths:
+            assert os.path.exists(p)
+        assert np.load(paths[0]).shape == (3, 4, 4)

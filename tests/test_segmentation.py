@@ -1,0 +1,129 @@
+"""Segmentation task tests: losses, heads, end-to-end segmentor training
+step + sliding-window inference on the tiny offline model."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import optax
+
+from diffusion_feature_tpu.tasks.segmentation import (
+    DiffusionSegmentor, FCNHead, UPerHead,
+    cross_entropy_loss, lovasz_softmax_loss, segmentation_loss,
+)
+
+
+class TestLosses:
+    def test_ce_ignores_index(self):
+        logits = jnp.zeros((1, 3, 2, 2))
+        labels = jnp.full((1, 2, 2), 255)
+        assert float(cross_entropy_loss(logits, labels)) == 0.0
+
+    def test_ce_perfect_prediction_low(self):
+        labels = jnp.asarray(np.random.RandomState(0).randint(0, 3, (1, 4, 4)))
+        logits = jax.nn.one_hot(labels, 3).transpose(0, 3, 1, 2) * 100.0
+        assert float(cross_entropy_loss(logits, labels)) < 1e-3
+
+    def test_lovasz_perfect_vs_wrong(self):
+        labels = jnp.asarray(np.random.RandomState(0).randint(0, 3, (1, 8, 8)))
+        perfect = jax.nn.one_hot(labels, 3).transpose(0, 3, 1, 2) * 100.0
+        wrong = jax.nn.one_hot((labels + 1) % 3, 3).transpose(0, 3, 1, 2) * 100.0
+        lp = float(lovasz_softmax_loss(perfect, labels))
+        lw = float(lovasz_softmax_loss(wrong, labels))
+        assert lp < 0.01 and lw > 0.5
+
+    def test_lovasz_with_ignore(self):
+        labels = jnp.asarray([[[0, 255], [1, 255]]])
+        logits = jnp.zeros((1, 2, 2, 2))
+        l = float(lovasz_softmax_loss(logits, labels))
+        assert np.isfinite(l)
+
+    def test_combined_loss_parts(self):
+        labels = jnp.asarray(np.random.RandomState(0).randint(0, 3, (1, 4, 4)))
+        logits = jnp.asarray(np.random.RandomState(1).randn(1, 3, 4, 4),
+                             jnp.float32)
+        total, parts = segmentation_loss(logits, logits, labels)
+        expect = (parts['loss_ce'] + parts['loss_lovasz']
+                  + 0.4 * parts['loss_ce_aux'])
+        assert np.isclose(float(total), float(expect))
+
+
+class TestHeads:
+    def test_uperhead_shapes(self):
+        head = UPerHead(in_channels=(16, 32), channels=24, pool_scales=(1, 2),
+                        num_classes=5)
+        x = [jnp.zeros((2, 16, 16, 16)), jnp.zeros((2, 32, 8, 8))]
+        vars_ = head.init(jax.random.PRNGKey(0), x, train=False)
+        out = head.apply(vars_, x, train=False)
+        assert out.shape == (2, 5, 16, 16)     # finest input resolution
+
+    def test_fcnhead_shapes(self):
+        head = FCNHead(channels=24, num_classes=5)
+        x = jnp.zeros((2, 32, 8, 8))
+        vars_ = head.init(jax.random.PRNGKey(0), x, train=False)
+        out = head.apply(vars_, x, train=False)
+        assert out.shape == (2, 5, 8, 8)
+
+
+@pytest.fixture(scope='module')
+def seg():
+    return DiffusionSegmentor(
+        diffusion_feature={'layer': {'up-level1-repeat0-res-out': True,
+                                     'mid-vit-block0-self-q': True},
+                           'version': 'test-sd', 'attention': None,
+                           'img_size': 64, 't': [50, 100],
+                           'train_unet': False, 'dtype': 'float32'},
+        feature_layers=[[('up-level1-repeat0-res-out', 32)],
+                        [('mid-vit-block0-self-q', 64)]],
+        num_classes=4, head_channels=16, pool_scales=(1, 2),
+        prompt='a scene')
+
+
+class TestSegmentor:
+    def test_train_step_decreases_loss(self, seg):
+        params, bs = seg.init_state()
+        rng = np.random.RandomState(0)
+        images = jnp.asarray(rng.rand(2, 3, 64, 64).astype(np.float32) * 2 - 1)
+        labels = jnp.asarray(rng.randint(0, 4, (2, 64, 64)))
+        opt = optax.adamw(1e-2)
+        opt_state = opt.init(params)
+
+        def loss_fn(p, bs, key):
+            total, (parts, new_bs) = seg.loss(p, bs, images, labels, key)
+            return total, new_bs
+
+        key = jax.random.PRNGKey(0)
+        losses = []
+        for i in range(4):
+            key, dk = jax.random.split(key)
+            (l, bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, bs, dk)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            losses.append(float(l))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0]
+
+    def test_zero_init_adapters_are_identity(self, seg):
+        params, bs = seg.init_state()
+        # adapter output == input at init (reference zero-init, :35-38)
+        from diffusion_feature_tpu.tasks.segmentation import ResBlockAdapter
+        a = ResBlockAdapter(8)
+        x = jnp.asarray(np.random.RandomState(0).rand(1, 8, 4, 4), jnp.float32)
+        v = a.init(jax.random.PRNGKey(0), x, train=False)
+        out = a.apply(v, x, train=False)
+        assert np.allclose(np.asarray(out), np.asarray(x))
+
+    def test_slide_inference(self, seg):
+        params, bs = seg.init_state()
+        images = jnp.asarray(
+            np.random.RandomState(0).rand(1, 3, 96, 96).astype(np.float32))
+        pred = seg.predict(params, bs, images, mode='slide',
+                           crop_size=(64, 64), stride=(32, 32))
+        assert pred.shape == (1, 96, 96)
+        assert pred.max() < 4
+
+    def test_test_time_uses_first_t(self, seg):
+        assert seg._pick_t(is_test=True) == 50
+        ts = {seg._pick_t(is_test=False) for _ in range(20)}
+        assert ts <= {50, 100} and len(ts) == 2
