@@ -36,10 +36,11 @@ class AggregationNetwork:
     def __init__(self, configs: List[dict], weights=None, output_size=(128, 128),
                  prompt: str = SPAIR_PROMPT, seed: int = 0):
         self.output_size = tuple(output_size)
+        from ...configs import resolve_layer_config
         self.extractors = []
         for config in configs:
             fe = FeatureExtractor(
-                layer=config['layer'],
+                layer=resolve_layer_config(config['layer']),
                 version=config['version'],
                 attention=config.get('attention'),
                 img_size=config['img_size'],

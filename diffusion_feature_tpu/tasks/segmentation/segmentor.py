@@ -39,10 +39,14 @@ def _san(layer_id: str) -> str:
 class SegHead(nn.Module):
     """Adapters + decode/aux heads as one trainable module.
 
-    ``feature_layers``: per level, a tuple of (layer_id, channels)
-    (config ade_sdxl.py:60-63).
+    ``model_feature_layers``: per model, per level, a tuple of
+    (layer_id, channels) (config ade_sdxl.py:60-63; multi-model "Ours-XL-t"
+    wiring from diffusion_segmentor.py:155-183 — per-model adapters and sum
+    blocks, then a per-level 'amalgamated' ResBlock over the cross-model
+    concat).  Feature dict keys are plain layer ids for a single model and
+    ``m{i}:{layer_id}`` for ensembles.
     """
-    feature_layers: Tuple[Tuple[Tuple[str, int], ...], ...]
+    model_feature_layers: Tuple[Tuple[Tuple[Tuple[str, int], ...], ...], ...]
     num_classes: int = 150
     head_channels: int = 512
     pool_scales: Tuple[int, ...] = (1, 2)
@@ -52,19 +56,37 @@ class SegHead(nn.Module):
     @nn.compact
     def __call__(self, features: Dict[str, jnp.ndarray], train: bool = False,
                  dropout_rng=None):
+        n_models = len(self.model_feature_layers)
+        n_levels = max(len(fl) for fl in self.model_feature_layers)
+        per_level: List[List[jnp.ndarray]] = [[] for _ in range(n_levels)]
+        for mi, fl in enumerate(self.model_feature_layers):
+            suffix = '' if n_models == 1 else f'_m{mi}'
+            for level, res_level in enumerate(fl):
+                if not res_level:
+                    continue
+                per = []
+                for lid, ch in res_level:
+                    key = lid if n_models == 1 else f'm{mi}:{lid}'
+                    f = features[key].astype(jnp.float32)
+                    per.append(ResBlockAdapter(
+                        ch, name=f'adapter{suffix}_{_san(lid)}')(f, train))
+                x = jnp.concatenate(per, axis=1)
+                x = ResBlockAdapter(x.shape[1],
+                                    name=f'sum{level}{suffix}')(x, train)
+                per_level[level].append(x)
+
         outs = []
-        for level, res_level in enumerate(self.feature_layers):
-            per = []
-            for lid, ch in res_level:
-                f = features[lid].astype(jnp.float32)
-                per.append(ResBlockAdapter(
-                    ch, name=f'adapter_{_san(lid)}')(f, train))
-            x = jnp.concatenate(per, axis=1)
-            x = ResBlockAdapter(x.shape[1], name=f'sum{level}')(x, train)
+        for level, feats in enumerate(per_level):
+            x = jnp.concatenate(feats, axis=1) if len(feats) > 1 else feats[0]
+            if n_models > 1:
+                x = ResBlockAdapter(x.shape[1],
+                                    name=f'amalgamated{level}')(x, train)
             outs.append(x)
 
-        in_channels = tuple(sum(c for _, c in lvl)
-                            for lvl in self.feature_layers)
+        in_channels = tuple(
+            sum(c for fl in self.model_feature_layers
+                for _, c in (fl[lvl] if lvl < len(fl) else ()))
+            for lvl in range(n_levels))
         r1 = r2 = None
         if dropout_rng is not None:
             r1, r2 = jax.random.split(dropout_rng)
@@ -84,36 +106,58 @@ class SegHead(nn.Module):
 class DiffusionSegmentor:
     """Host orchestrator: frozen FeatureExtractor(s) + trainable SegHead."""
 
-    def __init__(self, diffusion_feature: dict, feature_layers,
+    def __init__(self, diffusion_feature, feature_layers,
                  num_classes: int = 150, head_channels: int = 512,
                  pool_scales=(1, 2), prompt: str = '',
                  prompt_tuning: bool = False, weights=None, seed: int = 0):
-        self.feature_layers = tuple(
-            tuple((lid, ch) for lid, ch in lvl) for lvl in feature_layers)
-        self.t = diffusion_feature['t']
-        self.use_control_choices = None
-        control = diffusion_feature.get('control')
-        self.extractor = FeatureExtractor(
-            layer=diffusion_feature['layer'],
-            version=diffusion_feature['version'],
-            attention=diffusion_feature.get('attention'),
-            img_size=diffusion_feature['img_size'],
-            train_unet=diffusion_feature.get('train_unet', False),
-            dtype=diffusion_feature.get(
-                'dtype',
-                'float32' if prompt_tuning else 'bfloat16'),
-            control=control[0] if control else None,
-            offline_lora=diffusion_feature.get('offline_lora'),
-            weights=weights,
-        )
-        if control:
-            n = control[1] if len(control) > 1 else 0
-            self.use_control_choices = ([True] * n + [False]) if n > 0 else [True]
-        self.prompt_embeds = self.extractor.encode_prompt(prompt)
-        self.extractor.offload_prompt_encoder(persistent=True)
+        self.multi = isinstance(diffusion_feature, (list, tuple))
+        df_list = (list(diffusion_feature) if self.multi
+                   else [diffusion_feature])
+        if self.multi:
+            # per-model feature layers (reference multi mode, ade_full.py)
+            mfl = feature_layers
+        else:
+            mfl = [feature_layers]
+        self.model_feature_layers = tuple(
+            tuple(tuple((lid, ch) for lid, ch in lvl) for lvl in fl)
+            for fl in mfl)
+
+        def build(df):
+            control = df.get('control')
+            fe = FeatureExtractor(
+                layer=df['layer'],
+                version=df['version'],
+                attention=df.get('attention'),
+                img_size=df['img_size'],
+                train_unet=df.get('train_unet', False),
+                dtype=df.get('dtype',
+                             'float32' if prompt_tuning else 'bfloat16'),
+                control=control[0] if control else None,
+                offline_lora=df.get('offline_lora'),
+                weights=weights,
+            )
+            choices = None
+            if control:
+                n = control[1] if len(control) > 1 else 0
+                choices = ([True] * n + [False]) if n > 0 else [True]
+            pe = fe.encode_prompt(prompt)
+            fe.offload_prompt_encoder(persistent=True)
+            return {'model': fe, 'prompt_embeds': pe, 't': df['t'],
+                    'control_choices': choices}
+
+        self.extractors = [build(df) for df in df_list]
+        # single-model aliases (main code path + prompt tuning)
+        self.extractor = self.extractors[0]['model']
+        self.prompt_embeds = self.extractors[0]['prompt_embeds']
+        self.t = self.extractors[0]['t']
+        self.use_control_choices = self.extractors[0]['control_choices']
 
         self.prompt_tuning = prompt_tuning
-        self.head = SegHead(feature_layers=self.feature_layers,
+        if prompt_tuning and self.multi:
+            raise NotImplementedError('prompt tuning with the multi-model '
+                                      'ensemble is not supported (nor used '
+                                      'by the reference configs)')
+        self.head = SegHead(model_feature_layers=self.model_feature_layers,
                             num_classes=num_classes,
                             head_channels=head_channels,
                             pool_scales=tuple(pool_scales))
@@ -152,7 +196,25 @@ class DiffusionSegmentor:
         """images (B, 3, H, W) in [-1, 1] -> {layer: (B, C, h, w)} frozen
         features.  With prompt tuning, ``params['meta_prompt']`` overrides
         the text conditioning and gradients flow through the extractor's
-        jitted step."""
+        jitted step.  Multi-model mode namespaces keys as ``m{i}:{layer}``
+        (sequential extraction, reference :275-285 — the threaded variant is
+        commented out there too; XLA async dispatch overlaps the programs)."""
+        if self.multi:
+            out = {}
+            for mi, ex in enumerate(self.extractors):
+                f = ex['model'].extract(
+                    prompts=ex['prompt_embeds'],
+                    batch_size=images.shape[0],
+                    image=images, image_type='tensors',
+                    t=(ex['t'][0] if isinstance(ex['t'], (list, tuple))
+                       and is_test else
+                       (self._rng.choice(ex['t'])
+                        if isinstance(ex['t'], (list, tuple)) else ex['t'])),
+                )
+                for k, v in f.items():
+                    out[f'm{mi}:{k}'] = v
+            return jax.tree.map(jax.lax.stop_gradient, out)
+
         prompts = self.prompt_embeds
         if self.prompt_tuning and params is not None:
             pe = list(prompts)

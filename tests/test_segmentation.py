@@ -123,6 +123,30 @@ class TestSegmentor:
         assert pred.shape == (1, 96, 96)
         assert pred.max() < 4
 
+    def test_multi_model_ensemble(self):
+        # Ours-XL-t-style dual-extractor wiring (reference :155-183):
+        # per-model adapters/sums, per-level amalgamated block
+        seg2 = DiffusionSegmentor(
+            diffusion_feature=[
+                {'layer': {'up-level1-repeat0-res-out': True},
+                 'version': 'test-sd', 'attention': None, 'img_size': 64,
+                 't': 50, 'dtype': 'float32'},
+                {'layer': {'up-level1-repeat0-res-out': True},
+                 'version': 'test-sd', 'attention': None, 'img_size': 64,
+                 't': 100, 'dtype': 'float32'},
+            ],
+            feature_layers=[[[('up-level1-repeat0-res-out', 32)]],
+                            [[('up-level1-repeat0-res-out', 32)]]],
+            num_classes=3, head_channels=16, pool_scales=(1, 2),
+            prompt='a scene')
+        params, bs = seg2.init_state()
+        assert 'amalgamated0' in params['head']
+        assert 'adapter_m0_up_level1_repeat0_res_out' in params['head']
+        images = jnp.asarray(
+            np.random.RandomState(0).rand(1, 3, 64, 64).astype(np.float32))
+        logits = seg2.predict_logits(params, bs, images)
+        assert logits.shape == (1, 3, 64, 64)
+
     def test_test_time_uses_first_t(self, seg):
         assert seg._pick_t(is_test=True) == 50
         ts = {seg._pick_t(is_test=False) for _ in range(20)}

@@ -105,8 +105,12 @@ def main(argv=None):
     os.makedirs(args.work_dir, exist_ok=True)
     with open(args.config) as f:
         cfg = json.load(f)
-    feature_layers = [[(lid, int(c)) for lid, c in lvl]
-                      for lvl in cfg['feature_layers']]
+    if isinstance(cfg['diffusion_feature'], list):   # multi-model ensemble
+        feature_layers = [[[(lid, int(c)) for lid, c in lvl] for lvl in mfl]
+                          for mfl in cfg['feature_layers']]
+    else:
+        feature_layers = [[(lid, int(c)) for lid, c in lvl]
+                          for lvl in cfg['feature_layers']]
     seg = DiffusionSegmentor(
         diffusion_feature=cfg['diffusion_feature'],
         feature_layers=feature_layers,
