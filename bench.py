@@ -4,9 +4,12 @@ throughput (img/s/chip) at 512², the driver's north-star metric
 (BASELINE.json: >=8 img/s/chip on v5e).
 
 Measures the full hot path — VAE encode, posterior sample, noise injection,
-single U-Net forward with the Ours-XL tap set, feature post-processing — as
-one jitted program, steady-state (post-compile), on whatever backend is
-available.  Prints ONE JSON line.
+single U-Net forward with the Ours-XL tap set, feature post-processing.
+The steady-state loop runs ON DEVICE inside one jitted ``lax.fori_loop``
+(each iteration re-draws the noise and folds every tap tensor into a live
+checksum), and the wall clock closes over a host readback of that checksum:
+dispatch-latency/async-queue artifacts (large under the axon TPU tunnel,
+where block_until_ready does not synchronize) cannot inflate the number.
 """
 
 import json
@@ -32,6 +35,7 @@ def main():
     on_tpu = jax.devices()[0].platform == 'tpu'
     img_size = 512
     batch = int(os.environ.get('BENCH_BATCH', '8' if on_tpu else '1'))
+    iters = int(os.environ.get('BENCH_ITERS', '10' if on_tpu else '2'))
     dtype = jnp.bfloat16
 
     # Ours-XL practical tap set (reference configs/config_xl_practical.json)
@@ -53,7 +57,6 @@ def main():
     sample_img = jnp.zeros((1, 3, img_size, img_size), dtype)
     ctx1 = jnp.zeros((1, 77, 2048), dtype)
 
-    import jax.tree_util
     unet_params = UNet2DConditionModel(cfg=SDXL_UNET, dtype=dtype).init(
         rng, jnp.zeros((1, 4, lat, lat), dtype), 50, ctx1,
         {'text_embeds': jnp.zeros((1, 1280), dtype),
@@ -77,7 +80,19 @@ def main():
             {'text_embeds': pooled, 'time_ids': time_ids}, mutable=['taps'])
         return postprocess_taps(flatten_taps(tap_state['taps']))
 
-    fstep = jax.jit(step)
+    def loop(n_steps):
+        def run(unet_params, vae_params, img, ctx, pooled, time_ids, rng):
+            def body(i, carry):
+                rng, acc = carry
+                rng, r = jax.random.split(rng)
+                feats = step(unet_params, vae_params, img, ctx, pooled,
+                             time_ids, r)
+                s = sum(jnp.sum(f.astype(jnp.float32)) for f in feats.values())
+                return (rng, acc + s)
+            _, acc = jax.lax.fori_loop(0, n_steps, body,
+                                       (rng, jnp.float32(0)))
+            return acc
+        return jax.jit(run)
 
     img = jax.random.uniform(rng, (batch, 3, img_size, img_size), dtype) * 2 - 1
     ctx = jnp.ones((batch, 77, 2048), dtype)
@@ -85,18 +100,16 @@ def main():
     time_ids = jnp.tile(jnp.asarray(
         [[img_size, img_size, 0, 0, img_size, img_size]], dtype), (batch, 1))
 
-    # warmup/compile
-    out = fstep(unet_params, vae_params, img, ctx, pooled, time_ids,
-                jax.random.PRNGKey(1))
-    jax.block_until_ready(out)
-
-    iters = 10 if on_tpu else 2
-    start = time.perf_counter()
-    for i in range(iters):
-        out = fstep(unet_params, vae_params, img, ctx, pooled, time_ids,
-                    jax.random.PRNGKey(i))
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - start
+    args = (unet_params, vae_params, img, ctx, pooled, time_ids,
+            jax.random.PRNGKey(1))
+    fbench = loop(iters)
+    # warmup/compile (1-step twin shares no cache but compiles the same ops)
+    _ = float(np.asarray(fbench(*args)))   # first call: compile + run
+    t0 = time.perf_counter()
+    acc = fbench(*args)
+    acc = float(np.asarray(acc))           # host readback = hard sync
+    dt = time.perf_counter() - t0
+    assert np.isfinite(acc)
 
     img_per_s = batch * iters / dt
     baseline = 8.0  # img/s/chip north star (BASELINE.json)

@@ -611,7 +611,7 @@ class FeatureExtractor:
                     feats['attn'] = agg
             return feats
 
-        return jax.jit(step)
+        return self._jit_sharded(step)
 
     @functools.lru_cache(maxsize=32)
     def _get_flux_step_fn(self, t: int, num_inference_steps: int = 28):
@@ -659,7 +659,7 @@ class FeatureExtractor:
                     feats['attn'] = agg
             return feats
 
-        return jax.jit(step)
+        return self._jit_sharded(step)
 
     @functools.lru_cache(maxsize=32)
     def _get_step_fn(self, t: int, denoising_from: Optional[int],
@@ -783,7 +783,29 @@ class FeatureExtractor:
                     feats['attn'] = agg
             return feats
 
-        return jax.jit(step)
+        return self._jit_sharded(step)
+
+    def _jit_sharded(self, step):
+        """jit the extraction step; with a mesh, shard the image batch over
+        'dp' (params/prompts replicated) so multi-chip extraction scales
+        without code changes — the TPU-native replacement for the
+        reference's thread-per-GPU placement (SURVEY §2.12/§5.8)."""
+        if self.mesh is None:
+            return jax.jit(step)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        batch_sh = NamedSharding(self.mesh, P('dp'))
+        repl = NamedSharding(self.mesh, P())
+
+        jitted = jax.jit(step)
+
+        def wrapped(params, img, *rest):
+            img = jax.device_put(img, batch_sh)
+            params = jax.tree.map(
+                lambda x: jax.device_put(x, repl)
+                if getattr(x, 'ndim', None) is not None else x, params)
+            return jitted(params, img, *rest)
+
+        return wrapped
 
     # --------------------------------------------------------------- sampling
     def sample(self, prompts, batch_size: int = 1,
