@@ -180,15 +180,35 @@ class Attention(nn.Module):
             # size-band filter on query token count (components/attention.py:113-114)
             store_this = self.attn_store.min_size ** 2 <= sq <= self.attn_store.max_size ** 2
         map_id = child_id(self.tap_name, 'map')
-        need_probs = self.taps.wants(map_id) or store_this
+        wants_map = self.taps.wants(map_id)
 
-        if need_probs:
+        if wants_map:
+            # a full per-head map was explicitly requested: materialize it
             out, probs = attention_with_probs(
                 q, k, v, self.heads, mask=mask, upcast=self.upcast)
             sow_tap(self, 'map', probs)
             if store_this:
                 key = f"{self.attn_store.place}_{'cross' if self.is_cross else 'self'}"
                 self.sow('attn_store', key, probs.mean(axis=1))
+        elif store_this and mask is None:
+            # store-only: head-mean via the Pallas streaming kernel — the
+            # per-head (B,H,Sq,Sk) tensor never exists
+            from ..ops.attention import (
+                attention_with_headmean_heads, merge_heads, split_heads,
+            )
+            qh, kh, vh = (split_heads(t, self.heads) for t in (q, k, v))
+            if self.upcast:
+                qh, kh = qh.astype(jnp.float32), kh.astype(jnp.float32)
+                vh = vh.astype(jnp.float32)
+            out_h, mean_p = attention_with_headmean_heads(qh, kh, vh)
+            out = merge_heads(out_h).astype(q.dtype)
+            key = f"{self.attn_store.place}_{'cross' if self.is_cross else 'self'}"
+            self.sow('attn_store', key, mean_p.astype(q.dtype))
+        elif store_this:
+            out, probs = attention_with_probs(
+                q, k, v, self.heads, mask=mask, upcast=self.upcast)
+            key = f"{self.attn_store.place}_{'cross' if self.is_cross else 'self'}"
+            self.sow('attn_store', key, probs.mean(axis=1))
         else:
             out = attention_fused(q, k, v, self.heads, mask=mask, upcast=self.upcast)
 

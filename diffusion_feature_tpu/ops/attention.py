@@ -112,6 +112,37 @@ def attention_fused_heads(
     return out
 
 
+def attention_with_headmean_heads(
+    qh: jnp.ndarray,
+    kh: jnp.ndarray,
+    vh: jnp.ndarray,
+    *,
+    scale: Optional[float] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Attention + HEAD-MEAN probabilities: (out (B,H,Sq,D),
+    mean_probs (B,Sq,Sk)).
+
+    This is the attention-store path (facade ``attention=...``): the
+    reference materializes per-head (B,H,Sq,Sk) scores and then means them
+    (components/attention.py:238-242) — 1.3 GiB per SDXL-1024 self-attention
+    layer.  On TPU the Pallas pair (flash_attention_with_lse +
+    headmean_probs) streams score tiles and only the O(Sq·Sk) mean ever
+    touches HBM."""
+    scale = qh.shape[-1] ** -0.5 if scale is None else scale
+    try:
+        from .flash_attention import (
+            flash_attention_with_lse, headmean_probs, is_flash_compatible,
+        )
+        if is_flash_compatible(qh.shape, kh.shape, min_seq=512):
+            out, lse = flash_attention_with_lse(qh, kh, vh, scale=scale)
+            mean_p = headmean_probs(qh, kh, lse, scale=scale)
+            return out, mean_p.astype(qh.dtype)
+    except ImportError:
+        pass
+    out, probs = attention_with_probs_heads(qh, kh, vh, scale=scale)
+    return out, probs.mean(axis=1)
+
+
 def attention_fused(
     q: jnp.ndarray,
     k: jnp.ndarray,

@@ -85,6 +85,23 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, n
         o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
 
 
+def _flash_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
+                      m_ref, l_ref, acc_ref, *, scale, nk):
+    """Flash forward that additionally writes per-row logsumexp — the
+    residual needed to reconstruct normalized score tiles later without a
+    second softmax pass."""
+    _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+                  scale=scale, nk=nk)
+    ki = pl.program_id(2)
+
+    @pl.when(ki == nk - 1)
+    def _write_lse():
+        # lse block is (block_q, 8): minor dim padded to a full sublane so
+        # Mosaic accepts the layout; host slices [..., 0]
+        lse = m_ref[:, :1] + jnp.log(l_ref[:, :1])
+        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+
+
 def _use_interpret() -> bool:
     # CPU backend (tests / virtual meshes) only supports interpret mode
     return jax.default_backend() != 'tpu'
@@ -142,3 +159,115 @@ def flash_attention(
     )(qf, kf, vf)
 
     return out[:, :, :d].reshape(b, h, sq, d)
+
+
+@functools.partial(jax.jit, static_argnames=('scale', 'block_q', 'block_k'))
+def flash_attention_with_lse(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    scale: float,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+):
+    """Flash forward returning (out (B,H,Sq,D), lse (B,H,Sq) fp32)."""
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    block_q = min(block_q, sq)
+    block_k = min(block_k, sk)
+    assert sq % block_q == 0 and sk % block_k == 0, (sq, sk, block_q, block_k)
+
+    d_pad = max(_LANE, ((d + _LANE - 1) // _LANE) * _LANE)
+    qf = _pad_to(q.reshape(b * h, sq, d), d_pad, axis=2)
+    kf = _pad_to(k.reshape(b * h, sk, d), d_pad, axis=2)
+    vf = _pad_to(v.reshape(b * h, sk, d), d_pad, axis=2)
+
+    nq, nk = sq // block_q, sk // block_k
+    grid = (b * h, nq, nk)
+
+    out, lse = pl.pallas_call(
+        functools.partial(_flash_lse_kernel, scale=scale, nk=nk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_pad), lambda bh, qi, ki: (bh, qi, 0)),
+            pl.BlockSpec((1, block_k, d_pad), lambda bh, qi, ki: (bh, ki, 0)),
+            pl.BlockSpec((1, block_k, d_pad), lambda bh, qi, ki: (bh, ki, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, d_pad), lambda bh, qi, ki: (bh, qi, 0)),
+            pl.BlockSpec((1, block_q, 8), lambda bh, qi, ki: (bh, qi, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, sq, d_pad), q.dtype),
+            jax.ShapeDtypeStruct((b * h, sq, 8), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANE), jnp.float32),
+            pltpu.VMEM((block_q, _LANE), jnp.float32),
+            pltpu.VMEM((block_q, d_pad), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'parallel', 'arbitrary'),
+        ),
+        interpret=_use_interpret(),
+    )(qf, kf, vf)
+
+    return (out[:, :, :d].reshape(b, h, sq, d),
+            lse[:, :, 0].reshape(b, h, sq))
+
+
+def _headmean_kernel(q_ref, k_ref, lse_ref, o_ref, *, scale, heads):
+    """Head-mean normalized score tile: (1/H) Σ_h exp(q_h k_h^T·scale -
+    lse_h).  q_ref (1,H,bq,d), k_ref (1,H,bk,d), lse_ref (1,H,bq),
+    o_ref (1,bq,bk)."""
+    acc = jnp.zeros(o_ref.shape[1:], jnp.float32)
+    for hh in range(heads):          # static unroll; H is small
+        s = jax.lax.dot_general(
+            q_ref[0, hh].astype(jnp.float32), k_ref[0, hh].astype(jnp.float32),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        ) * scale
+        acc = acc + jnp.exp(s - lse_ref[0, hh][:, None])
+    o_ref[0] = acc / heads
+
+
+@functools.partial(jax.jit, static_argnames=('scale', 'block_q', 'block_k'))
+def headmean_probs(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    lse: jnp.ndarray,
+    *,
+    scale: float,
+    block_q: int = 256,
+    block_k: int = 256,
+) -> jnp.ndarray:
+    """(B,H,Sq,D), (B,H,Sk,D), (B,H,Sq) -> head-mean probs (B,Sq,Sk) fp32
+    without ever materializing the per-head (B,H,Sq,Sk) tensor — the memory
+    cliff that forces the reference onto 11-GiB caps (SURVEY §5)."""
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    block_q = min(block_q, sq)
+    block_k = min(block_k, sk)
+    assert sq % block_q == 0 and sk % block_k == 0, (sq, sk, block_q, block_k)
+
+    d_pad = max(_LANE, ((d + _LANE - 1) // _LANE) * _LANE)
+    qf = _pad_to(q, d_pad, axis=3)
+    kf = _pad_to(k, d_pad, axis=3)
+
+    grid = (b, sq // block_q, sk // block_k)
+    return pl.pallas_call(
+        functools.partial(_headmean_kernel, scale=scale, heads=h),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, h, block_q, d_pad), lambda bi, qi, ki: (bi, 0, qi, 0)),
+            pl.BlockSpec((1, h, block_k, d_pad), lambda bi, qi, ki: (bi, 0, ki, 0)),
+            pl.BlockSpec((1, h, block_q), lambda bi, qi, ki: (bi, 0, qi)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, block_k),
+                               lambda bi, qi, ki: (bi, qi, ki)),
+        out_shape=jax.ShapeDtypeStruct((b, sq, sk), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'parallel', 'parallel'),
+        ),
+        interpret=_use_interpret(),
+    )(qf, kf, lse)

@@ -12,6 +12,18 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def rescale_noise_cfg(noise_cfg, noise_pred_text, guidance_rescale: float = 0.0):
+    """Rescale CFG output per Lin et al. "Common Diffusion Noise Schedules
+    and Sample Steps are Flawed" §3.4 — parity with the reference's
+    (main-path-unused) helper ``_rescale_noise_cfg``
+    (feature/diffusion_feature.py:576-587)."""
+    axes = tuple(range(1, noise_pred_text.ndim))
+    std_text = jnp.std(noise_pred_text, axis=axes, keepdims=True)
+    std_cfg = jnp.std(noise_cfg, axis=axes, keepdims=True)
+    rescaled = noise_cfg * (std_text / std_cfg)
+    return guidance_rescale * rescaled + (1 - guidance_rescale) * noise_cfg
+
+
 def encode_long_prompt(extractor, prompt: str, negative_prompt: str = ''):
     tok = extractor.tokenizers[0]
     te = extractor.text_encoders[0]

@@ -1,0 +1,68 @@
+"""Pallas kernel correctness (interpret mode on CPU): flash attention,
+LSE export, streaming head-mean probabilities."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from diffusion_feature_tpu.ops.attention import (
+    attention_with_headmean_heads, attention_with_probs_heads,
+)
+from diffusion_feature_tpu.ops.flash_attention import (
+    flash_attention, flash_attention_with_lse, headmean_probs,
+)
+
+
+def make_qkv(b=1, h=2, sq=512, sk=512, d=32, seed=0):
+    rng = np.random.RandomState(seed)
+    mk = lambda s: jnp.asarray(rng.randn(b, h, s, d).astype(np.float32))
+    return mk(sq), mk(sk), mk(sk)
+
+
+class TestFlash:
+    def test_flash_matches_explicit(self):
+        q, k, v = make_qkv()
+        scale = q.shape[-1] ** -0.5
+        out_f = flash_attention(q, k, v, scale=scale)
+        out_e, _ = attention_with_probs_heads(q, k, v, scale=scale)
+        assert np.allclose(np.asarray(out_f), np.asarray(out_e),
+                           rtol=1e-4, atol=1e-4)
+
+    def test_lse_matches_logsumexp(self):
+        q, k, v = make_qkv()
+        scale = q.shape[-1] ** -0.5
+        out, lse = flash_attention_with_lse(q, k, v, scale=scale)
+        scores = jnp.einsum('bhqd,bhkd->bhqk', q, k) * scale
+        ref = jax.scipy.special.logsumexp(scores, axis=-1)
+        assert np.allclose(np.asarray(lse), np.asarray(ref),
+                           rtol=1e-4, atol=1e-4)
+        out_ref, _ = attention_with_probs_heads(q, k, v, scale=scale)
+        assert np.allclose(np.asarray(out), np.asarray(out_ref),
+                           rtol=1e-4, atol=1e-4)
+
+    def test_headmean_probs_matches_explicit_mean(self):
+        q, k, v = make_qkv(h=3)
+        scale = q.shape[-1] ** -0.5
+        _, lse = flash_attention_with_lse(q, k, v, scale=scale)
+        mean_p = headmean_probs(q, k, lse, scale=scale)
+        _, probs = attention_with_probs_heads(q, k, v, scale=scale)
+        ref = np.asarray(probs.mean(axis=1))
+        assert np.allclose(np.asarray(mean_p), ref, rtol=1e-4, atol=1e-5)
+        # rows are normalized distributions
+        assert np.allclose(np.asarray(mean_p).sum(-1), 1.0, atol=1e-4)
+
+    def test_fused_headmean_entrypoint(self):
+        q, k, v = make_qkv(sq=512, sk=512)
+        out, mean_p = attention_with_headmean_heads(q, k, v)
+        out_ref, probs = attention_with_probs_heads(q, k, v)
+        assert np.allclose(np.asarray(out), np.asarray(out_ref),
+                           rtol=1e-4, atol=1e-4)
+        assert np.allclose(np.asarray(mean_p),
+                           np.asarray(probs.mean(1)), rtol=1e-4, atol=1e-5)
+
+    def test_headmean_small_fallback(self):
+        # sizes below the kernel threshold take the explicit path
+        q, k, v = make_qkv(sq=64, sk=64)
+        out, mean_p = attention_with_headmean_heads(q, k, v)
+        assert mean_p.shape == (1, 64, 64)
+        assert np.allclose(np.asarray(mean_p).sum(-1), 1.0, atol=1e-4)
