@@ -34,7 +34,7 @@ def main():
 
     on_tpu = jax.devices()[0].platform == 'tpu'
     img_size = 512
-    batch = int(os.environ.get('BENCH_BATCH', '8' if on_tpu else '1'))
+    batch = int(os.environ.get('BENCH_BATCH', '16' if on_tpu else '1'))
     iters = int(os.environ.get('BENCH_ITERS', '10' if on_tpu else '2'))
     dtype = jnp.bfloat16
 

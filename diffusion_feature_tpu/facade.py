@@ -893,12 +893,25 @@ class FeatureExtractor:
                     {'params': params['unet']}, model_in, float(t), ctx,
                     added, mutable=['taps'])
                 tap_states.append(tap_state.get('taps', {}))
-                if out.shape[1] != latents.shape[1]:
-                    out = out[:, :latents.shape[1]]  # learned variance half
-                if do_cfg:
-                    uncond, cond = jnp.split(out, 2)
-                    out = uncond + guidance_scale * (cond - uncond)
                 from .schedulers.diffusion import DDPMScheduler
+                learned_var = (isinstance(sched, DDPMScheduler)
+                               and sched.config.variance_type == 'learned_range'
+                               and out.shape[1] == 2 * latents.shape[1])
+                if learned_var:
+                    pred, varp = jnp.split(out, 2, axis=1)
+                    if do_cfg:
+                        # CFG on the prediction; keep the conditional
+                        # variance (IF pipeline semantics)
+                        u, c = jnp.split(pred, 2)
+                        pred = u + guidance_scale * (c - u)
+                        varp = jnp.split(varp, 2)[1]
+                    out = jnp.concatenate([pred, varp], axis=1)
+                else:
+                    if out.shape[1] != latents.shape[1]:
+                        out = out[:, :latents.shape[1]]
+                    if do_cfg:
+                        uncond, cond = jnp.split(out, 2)
+                        out = uncond + guidance_scale * (cond - uncond)
                 if isinstance(sched, DDPMScheduler):
                     rng, rn = jax.random.split(rng)
                     noise = jax.random.normal(rn, latents.shape, latents.dtype)

@@ -158,7 +158,19 @@ class DDIMScheduler(DiffusionScheduler):
 
 
 class DDPMScheduler(DiffusionScheduler):
-    """Ancestral DDPM step (used by DeepFloyd-IF and Hunyuan pipelines)."""
+    """Ancestral DDPM step (used by DeepFloyd-IF and Hunyuan pipelines).
+
+    Supports IF's config: ``variance_type='learned_range'`` (model output
+    carries 2x channels, second half interpolating between the clamped
+    fixed-small and current-beta log variances) and dynamic ``thresholding``
+    (Imagen's per-sample 99.5%-quantile clamp of x0)."""
+
+    def _threshold(self, x0):
+        b = x0.shape[0]
+        flat = jnp.abs(x0.astype(jnp.float32)).reshape(b, -1)
+        s = jnp.quantile(flat, 0.995, axis=1)
+        s = jnp.clip(s, 1.0, None).reshape((b,) + (1,) * (x0.ndim - 1))
+        return (jnp.clip(x0.astype(jnp.float32), -s, s) / s).astype(x0.dtype)
 
     def step(self, state: SchedulerState, model_output, timestep, sample,
              noise=None):
@@ -171,8 +183,15 @@ class DDPMScheduler(DiffusionScheduler):
         current_alpha = a_t / a_prev
         current_beta = 1 - current_alpha
 
+        predicted_variance = None
+        if (self.config.variance_type == 'learned_range'
+                and model_output.shape[1] == sample.shape[1] * 2):
+            model_output, predicted_variance = jnp.split(model_output, 2, axis=1)
+
         x0, _ = self._predict_x0_eps(model_output, sample, a_t)
-        if self.config.clip_sample:
+        if self.config.thresholding:
+            x0 = self._threshold(x0)
+        elif self.config.clip_sample:
             x0 = jnp.clip(x0, -1.0, 1.0)
         x0_coeff = np.sqrt(a_prev) * current_beta / beta_prod_t
         cur_coeff = np.sqrt(current_alpha) * (1 - a_prev) / beta_prod_t
@@ -183,7 +202,15 @@ class DDPMScheduler(DiffusionScheduler):
         if t > 0 and noise is not None:
             var = (1 - a_prev) / (1 - a_t) * current_beta
             var = max(var, 1e-20)
-            prev = prev + jnp.asarray(np.sqrt(var), sample.dtype) * noise
+            if predicted_variance is not None:
+                min_log = np.log(var)
+                max_log = np.log(max(current_beta, 1e-20))
+                frac = (predicted_variance.astype(jnp.float32) + 1) / 2
+                log_var = frac * max_log + (1 - frac) * min_log
+                prev = prev + (jnp.exp(0.5 * log_var)
+                               * noise.astype(jnp.float32)).astype(sample.dtype)
+            else:
+                prev = prev + jnp.asarray(np.sqrt(var), sample.dtype) * noise
         return prev, state
 
 

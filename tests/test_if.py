@@ -64,3 +64,36 @@ class TestIFExtract:
         a = np.asarray(f1['up-level0-repeat1-res-increment'], np.float32)
         b = np.asarray(f2['up-level0-repeat1-res-increment'], np.float32)
         assert not np.allclose(a, b)
+
+
+class TestIFSampling:
+    def test_pixel_space_generation_with_learned_variance(self, fe_if):
+        prompts = fe_if.encode_prompt('a cat')
+        images, feats = fe_if.sample(prompts, batch_size=1,
+                                     num_inference_steps=3,
+                                     guidance_scale=7.0)
+        assert images.shape == (1, 3, 32, 32)
+        arr = np.asarray(images, np.float32)
+        assert np.isfinite(arr).all() and arr.min() >= 0 and arr.max() <= 1
+        assert len(feats['unet-out']) == 3
+
+
+class TestDDPMVariance:
+    def test_learned_range_split_and_thresholding(self):
+        import jax.numpy as jnp
+        from diffusion_feature_tpu.schedulers.diffusion import DDPMScheduler
+        from diffusion_feature_tpu.schedulers import SchedulerConfig
+        import jax
+        cfg = SchedulerConfig(beta_schedule='squaredcos_cap_v2',
+                              beta_start=0.0001, beta_end=0.02,
+                              variance_type='learned_range', thresholding=True)
+        sched = DDPMScheduler(cfg)
+        state = sched.set_timesteps(10)
+        t = int(state.timesteps[0])
+        rngs = jax.random.split(jax.random.PRNGKey(0), 3)
+        sample = jax.random.normal(rngs[0], (2, 3, 8, 8))
+        out = jax.random.normal(rngs[1], (2, 6, 8, 8))   # 2x channels
+        noise = jax.random.normal(rngs[2], (2, 3, 8, 8))
+        prev, _ = sched.step(state, out, t, sample, noise)
+        assert prev.shape == (2, 3, 8, 8)
+        assert np.isfinite(np.asarray(prev)).all()
