@@ -87,6 +87,37 @@ def compute_pck(predicted_points: np.ndarray, target_points: np.ndarray,
     return distances, pck, pck.sum() / len(pck)
 
 
+def draw_correspondences(source_points, predicted_points, img1, img2,
+                         out_path: str, radius: int = 4, title: str = ''):
+    """Side-by-side visualization of source points and their predicted
+    matches (reference correspondence_utils.py:172-213; PIL instead of
+    matplotlib).  Points are (y, x)."""
+    from PIL import Image, ImageDraw
+
+    img1 = img1.convert('RGB')
+    img2 = img2.convert('RGB')
+    h = max(img1.height, img2.height)
+    canvas = Image.new('RGB', (img1.width + img2.width, h + 16), 'white')
+    canvas.paste(img1, (0, 16))
+    canvas.paste(img2, (img1.width, 16))
+    draw = ImageDraw.Draw(canvas)
+    if title:
+        draw.text((4, 2), title, fill='black')
+    n = len(source_points)
+    for i, (sp, tp) in enumerate(zip(np.asarray(source_points),
+                                     np.asarray(predicted_points))):
+        hue = int(360 * i / max(n, 1))
+        color = f'hsl({hue}, 90%, 45%)'
+        y1, x1 = float(sp[0]) + 16, float(sp[1])
+        y2, x2 = float(tp[0]) + 16, float(tp[1]) + img1.width
+        draw.ellipse([x1 - radius, y1 - radius, x1 + radius, y1 + radius],
+                     outline=color, width=2)
+        draw.ellipse([x2 - radius, y2 - radius, x2 + radius, y2 + radius],
+                     outline=color, width=2)
+    canvas.save(out_path)
+    return out_path
+
+
 def load_annotation(ann: dict, load_size, image_path: str = ''):
     """SPair annotation -> (source_points, target_points, src_path, tgt_path,
     category), points flipped to (y, x) and rescaled to load_size

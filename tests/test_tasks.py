@@ -146,3 +146,15 @@ class TestScarce:
         ti, tl, vi, vl = shuffle_split(imgs, labs, 7, seed=1)
         assert len(ti) == 7 and len(vi) == 3
         assert {i[1:] for i in ti} == {l[1:] for l in tl}  # pairs kept aligned
+
+
+class TestDrawCorrespondences:
+    def test_writes_side_by_side_image(self, tmp_path):
+        from diffusion_feature_tpu.tasks.correspondence import draw_correspondences
+        img1 = make_image(0, 64)
+        img2 = make_image(1, 64)
+        pts = np.array([[10.0, 20.0], [30.0, 40.0]])
+        out = draw_correspondences(pts, pts + 3, img1, img2,
+                                   str(tmp_path / 'c.png'), title='pck 1.0')
+        im = Image.open(out)
+        assert im.size == (128, 80)
