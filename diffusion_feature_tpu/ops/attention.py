@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -112,6 +114,33 @@ def attention_fused_heads(
     return out
 
 
+def _headmean_explicit(qh, kh, vh, scale):
+    out, probs = attention_with_probs_heads(qh, kh, vh, scale=scale)
+    return out, probs.mean(axis=1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _headmean_kernel_path(qh, kh, vh, scale):
+    from .flash_attention import flash_attention_with_lse, headmean_probs
+    out, lse = flash_attention_with_lse(qh, kh, vh, scale=scale)
+    mean_p = headmean_probs(qh, kh, lse, scale=scale)
+    return out, mean_p.astype(qh.dtype)
+
+
+def _headmean_fwd(qh, kh, vh, scale):
+    return _headmean_kernel_path(qh, kh, vh, scale), (qh, kh, vh)
+
+
+def _headmean_bwd(scale, res, g):
+    qh, kh, vh = res
+    _, vjp = jax.vjp(lambda a, b, c: _headmean_explicit(a, b, c, scale),
+                     qh, kh, vh)
+    return vjp(g)
+
+
+_headmean_kernel_path.defvjp(_headmean_fwd, _headmean_bwd)
+
+
 def attention_with_headmean_heads(
     qh: jnp.ndarray,
     kh: jnp.ndarray,
@@ -130,17 +159,12 @@ def attention_with_headmean_heads(
     touches HBM."""
     scale = qh.shape[-1] ** -0.5 if scale is None else scale
     try:
-        from .flash_attention import (
-            flash_attention_with_lse, headmean_probs, is_flash_compatible,
-        )
+        from .flash_attention import is_flash_compatible
         if is_flash_compatible(qh.shape, kh.shape, min_seq=512):
-            out, lse = flash_attention_with_lse(qh, kh, vh, scale=scale)
-            mean_p = headmean_probs(qh, kh, lse, scale=scale)
-            return out, mean_p.astype(qh.dtype)
+            return _headmean_kernel_path(qh, kh, vh, scale)
     except ImportError:
         pass
-    out, probs = attention_with_probs_heads(qh, kh, vh, scale=scale)
-    return out, probs.mean(axis=1)
+    return _headmean_explicit(qh, kh, vh, scale)
 
 
 def attention_fused(

@@ -107,8 +107,51 @@ def _use_interpret() -> bool:
     return jax.default_backend() != 'tpu'
 
 
-@functools.partial(jax.jit, static_argnames=('scale', 'block_q', 'block_k'))
+def _reference_attention(q, k, v, scale):
+    """XLA einsum-softmax twin of the kernel's math — the backward pass
+    (flash has no Pallas VJP; training through taps differentiates this)."""
+    scores = jnp.einsum('bhqd,bhkd->bhqk', q, k,
+                        preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    return jnp.einsum('bhqk,bhkd->bhqd', probs, v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash_diff(q, k, v, scale):
+    return _flash_impl(q, k, v, scale=scale)
+
+
+def _flash_diff_fwd(q, k, v, scale):
+    return _flash_impl(q, k, v, scale=scale), (q, k, v)
+
+
+def _flash_diff_bwd(scale, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda a, b, c: _reference_attention(a, b, c, scale),
+                     q, k, v)
+    return vjp(g)
+
+
+_flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
+
+
 def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    scale: float,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+) -> jnp.ndarray:
+    """(B, H, Sq, D) x (B, H, Sk, D) -> (B, H, Sq, D).  Pallas forward,
+    einsum-softmax backward (differentiable for train_unet/prompt tuning)."""
+    return _flash_diff(q, k, v, scale)
+
+
+@functools.partial(jax.jit, static_argnames=('scale', 'block_q', 'block_k'))
+def _flash_impl(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,

@@ -147,3 +147,36 @@ class TestLoRA:
                               dtype='float32')
         with pytest.raises(ValueError):
             apply_lora_to_params(fe.params['unet'], str(f))
+
+
+class TestTrainUnet:
+    def test_gradients_flow_into_unet_params(self):
+        """train_unet=True keeps features differentiable w.r.t. U-Net weights
+        (reference exposes pipe.unet as a trainable submodule,
+        diffusion_feature.py:87-89; here the param tree is a jit argument so
+        grads flow through the extraction program)."""
+        import jax
+        import jax.numpy as jnp
+        fe = FeatureExtractor(layer={'up-level1-repeat0-res-out': True},
+                              version='test-sd', img_size=64, dtype='float32',
+                              train_unet=True)
+        prompts = fe.encode_prompt('a cat')
+        pe, ne, pooled, _ = prompts
+        pe_b = jnp.broadcast_to(jnp.asarray(pe, jnp.float32),
+                                (1,) + tuple(np.shape(pe)[1:]))
+        img = jnp.asarray(np.random.RandomState(0).rand(1, 3, 64, 64)
+                          .astype(np.float32) * 2 - 1)
+        fn = fe._get_step_fn(50, None, False, False)
+        rng = jax.random.PRNGKey(0)
+
+        def loss(params):
+            feats = fn(params, img, pe_b, None, None, rng)
+            return jnp.mean(feats['up-level1-repeat0-res-out'] ** 2)
+
+        g = jax.grad(loss)(fe.params)
+        gnorm = float(jnp.linalg.norm(
+            g['unet']['conv_in']['kernel'].astype(jnp.float32)))
+        assert np.isfinite(gnorm) and gnorm > 0
+        # features stayed full precision (no bf16 cast in train mode)
+        feats = fn(fe.params, img, pe_b, None, None, rng)
+        assert feats['up-level1-repeat0-res-out'].dtype == jnp.float32

@@ -66,3 +66,33 @@ class TestFlash:
         out, mean_p = attention_with_headmean_heads(q, k, v)
         assert mean_p.shape == (1, 64, 64)
         assert np.allclose(np.asarray(mean_p).sum(-1), 1.0, atol=1e-4)
+
+
+class TestDifferentiability:
+    def test_grad_through_flash(self):
+        q, k, v = make_qkv()
+        scale = q.shape[-1] ** -0.5
+
+        def loss(q, k, v):
+            return jnp.sum(flash_attention(q, k, v, scale=scale) ** 2)
+
+        gq, gk, gv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+        def loss_ref(q, k, v):
+            out, _ = attention_with_probs_heads(q, k, v, scale=scale)
+            return jnp.sum(out ** 2)
+
+        rq, rk, rv = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for g, r in ((gq, rq), (gk, rk), (gv, rv)):
+            assert np.allclose(np.asarray(g), np.asarray(r),
+                               rtol=1e-3, atol=1e-3)
+
+    def test_grad_through_headmean(self):
+        q, k, v = make_qkv(sq=512, sk=512)
+
+        def loss(q, k, v):
+            out, mp = attention_with_headmean_heads(q, k, v)
+            return jnp.sum(out ** 2) + jnp.sum(mp ** 2)
+
+        g = jax.grad(loss)(q, k, v)
+        assert np.isfinite(np.asarray(g)).all()
