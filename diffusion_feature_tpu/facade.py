@@ -133,6 +133,11 @@ class FeatureExtractor:
             self.params = src.params
             return
 
+        if weights:
+            spec = self.spec = _adapt_spec_to_checkpoint(spec, weights)
+            if spec.vae is not None:
+                self.vae_scale = 2 ** (len(spec.vae.block_out_channels) - 1)
+
         rng = jax.random.PRNGKey(seed)
         sz = self.img_size
         lat = sz // self.vae_scale
@@ -1027,6 +1032,34 @@ class FeatureExtractor:
                 shape = (shape[0], shape[2], size, size)
             out[k] = shape
         return out
+
+
+def _adapt_spec_to_checkpoint(spec: ModelSpec, weights: str) -> ModelSpec:
+    """Rebuild architecture configs from the checkpoint's own config.json
+    files when present, so fine-tunes that deviate from the published presets
+    load exactly (U-Net families + VAE; the DiT presets match their single
+    published checkpoints)."""
+    import os
+    from .models.convert import load_component_config
+    updates = {}
+    try:
+        if spec.family in ('unet',) and os.path.exists(
+                os.path.join(weights, 'unet', 'config.json')):
+            from .models.unet2d import UNetConfig
+            updates['unet'] = UNetConfig.from_diffusers_config(
+                load_component_config(weights, 'unet'))
+        elif spec.family == 'if' and os.path.exists(
+                os.path.join(weights, 'unet', 'config.json')):
+            from .models.unet_if import IFUNetConfig
+            updates['unet'] = IFUNetConfig.from_diffusers_config(
+                load_component_config(weights, 'unet'))
+        if spec.vae is not None and os.path.exists(
+                os.path.join(weights, 'vae', 'config.json')):
+            updates['vae'] = spec.vae.from_diffusers_config(
+                load_component_config(weights, 'vae'))
+    except (OSError, ValueError, KeyError):
+        return spec
+    return dataclasses.replace(spec, **updates) if updates else spec
 
 
 def _aggregate_attention(store: Dict[str, jnp.ndarray], categories: List[str],

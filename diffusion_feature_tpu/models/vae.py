@@ -31,6 +31,21 @@ class VAEConfig:
     shift_factor: float = 0.0           # Flux: 0.1159
 
 
+def _vae_from_diffusers_config(d: dict) -> 'VAEConfig':
+    return VAEConfig(
+        in_channels=d.get('in_channels', 3),
+        out_channels=d.get('out_channels', 3),
+        latent_channels=d.get('latent_channels', 4),
+        block_out_channels=tuple(d.get('block_out_channels',
+                                       (128, 256, 512, 512))),
+        layers_per_block=d.get('layers_per_block', 2),
+        scaling_factor=d.get('scaling_factor', 0.18215),
+        shift_factor=d.get('shift_factor') or 0.0,
+    )
+
+
+VAEConfig.from_diffusers_config = staticmethod(_vae_from_diffusers_config)
+
 SD_VAE = VAEConfig()
 SDXL_VAE = VAEConfig(scaling_factor=0.13025)
 FLUX_VAE = VAEConfig(latent_channels=16, scaling_factor=0.3611, shift_factor=0.1159)

@@ -247,3 +247,30 @@ class TestFlowMatch:
         noisy = sched.scale_noise(state, x, noise, float(ts[0]))
         sigma = state.sigmas[1000 - 50]
         np.testing.assert_allclose(np.asarray(noisy)[0, 0, 0], sigma, rtol=1e-5)
+
+
+class TestCheckpointConfigAdaptation:
+    def test_spec_adapts_to_local_config_json(self, tmp_path):
+        import json, os
+        from diffusion_feature_tpu.facade import _adapt_spec_to_checkpoint
+        from diffusion_feature_tpu.models.registry import get_model_spec
+        os.makedirs(tmp_path / 'unet')
+        os.makedirs(tmp_path / 'vae')
+        json.dump({'block_out_channels': [64, 128],
+                   'down_block_types': ['CrossAttnDownBlock2D', 'DownBlock2D'],
+                   'up_block_types': ['UpBlock2D', 'CrossAttnUpBlock2D'],
+                   'layers_per_block': 1, 'attention_head_dim': 4,
+                   'cross_attention_dim': 512},
+                  open(tmp_path / 'unet' / 'config.json', 'w'))
+        json.dump({'block_out_channels': [32, 64], 'latent_channels': 8,
+                   'scaling_factor': 0.5},
+                  open(tmp_path / 'vae' / 'config.json', 'w'))
+        spec = get_model_spec('1-5')
+        adapted = _adapt_spec_to_checkpoint(spec, str(tmp_path))
+        assert adapted.unet.block_out_channels == (64, 128)
+        assert adapted.unet.num_attention_heads == (4, 4)
+        assert adapted.unet.cross_attention_dim == 512
+        assert adapted.vae.latent_channels == 8
+        assert adapted.vae.scaling_factor == 0.5
+        # no config files -> unchanged
+        assert _adapt_spec_to_checkpoint(spec, '/nonexistent') is spec
