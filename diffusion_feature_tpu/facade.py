@@ -532,6 +532,34 @@ class FeatureExtractor:
                 feats, self.store_idx)
         return feats
 
+    def extract_ensemble(self, prompts, batch_size: int, image,
+                         image_type: str = 'image', ts: Sequence[int] = (50,),
+                         prompt_list: Optional[Sequence] = None,
+                         concat: bool = True):
+        """Multi-timestep / multi-prompt ensembling: extract at every t in
+        ``ts`` (crossed with every prompt in ``prompt_list`` when given) and
+        channel-concat per layer — the ensembling pattern the reference's
+        tasks build by hand (segmentation random-t lists, correspondence
+        multi-extractor stacks).
+
+        Returns {layer: (B, len(ts)*len(prompts)*C, h, w)} when ``concat``,
+        else {(t_index, prompt_index): features}.
+        """
+        prompt_sets = list(prompt_list) if prompt_list is not None else [prompts]
+        per = {}
+        for pi, p in enumerate(prompt_sets):
+            for ti, t in enumerate(ts):
+                per[(ti, pi)] = self.extract(p, batch_size, image,
+                                             image_type=image_type, t=int(t))
+        if not concat:
+            return per
+        out = {}
+        first = per[(0, 0)]
+        for layer in first:
+            out[layer] = jnp.concatenate(
+                [per[k][layer] for k in sorted(per)], axis=1)
+        return out
+
     def _extract_flux(self, prompts, batch_size: int, image,
                       image_type: str, t: int):
         if isinstance(prompts, str):

@@ -138,3 +138,20 @@ class TestBackgroundExtraction:
         assert 'mid-vit-block0-self-q' in bg
         assert set(bg['mid-vit-block0-self-q'].keys()) == {1}
         fe_sd.store_idx = None
+
+
+class TestEnsemble:
+    def test_multi_timestep_concat(self, fe_sd):
+        prompts = fe_sd.encode_prompt('a cat')
+        feats = fe_sd.extract_ensemble(prompts, 1, [make_image(0)],
+                                       ts=[50, 300])
+        f = feats['up-level1-repeat0-res-out']
+        single = fe_sd.extract(prompts, 1, [make_image(0)], t=50)
+        assert f.shape[1] == 2 * single['up-level1-repeat0-res-out'].shape[1]
+
+    def test_multi_prompt_cross(self, fe_sd):
+        p1 = fe_sd.encode_prompt('a cat')
+        p2 = fe_sd.encode_prompt('a dog')
+        per = fe_sd.extract_ensemble(p1, 1, [make_image(0)], ts=[50],
+                                     prompt_list=[p1, p2], concat=False)
+        assert set(per) == {(0, 0), (0, 1)}
