@@ -84,8 +84,13 @@ def main():
         def run(unet_params, vae_params, img, ctx, pooled, time_ids, rng):
             def body(i, carry):
                 rng, acc = carry
-                rng, r = jax.random.split(rng)
-                feats = step(unet_params, vae_params, img, ctx, pooled,
+                rng, r, rp = jax.random.split(rng, 3)
+                # perturb the images per iteration: every batch is new data,
+                # so nothing (in particular the VAE encoder) is
+                # loop-invariant and hoistable by XLA
+                img_i = img + jax.random.normal(rp, img.shape,
+                                                img.dtype) * 0.01
+                feats = step(unet_params, vae_params, img_i, ctx, pooled,
                              time_ids, r)
                 s = sum(jnp.sum(f.astype(jnp.float32)) for f in feats.values())
                 return (rng, acc + s)

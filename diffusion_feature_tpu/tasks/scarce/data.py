@@ -58,6 +58,46 @@ def list_feature_label_pairs(feature_dir: str, label_dir: str
     return pairs_f, pairs_l
 
 
+def get_palette(num_classes: int) -> np.ndarray:
+    """Deterministic (num_classes, 3) uint8 palette (the reference ships
+    hand-picked per-dataset palettes in data_util.py; this generates a
+    maximally-spread HSV wheel instead)."""
+    import colorsys
+    cols = [(0, 0, 0)]
+    for i in range(1, num_classes):
+        r, g, b = colorsys.hsv_to_rgb((i - 1) / max(num_classes - 1, 1),
+                                      0.85, 0.95)
+        cols.append((int(r * 255), int(g * 255), int(b * 255)))
+    return np.asarray(cols, np.uint8)
+
+
+def colorize_mask(mask: np.ndarray, palette: np.ndarray) -> np.ndarray:
+    """(H, W) int labels -> (H, W, 3) uint8 (reference utils.colorize_mask)."""
+    mask = np.asarray(mask, np.int64)
+    safe = np.clip(mask, 0, len(palette) - 1)
+    return palette[safe]
+
+
+def save_predictions(preds, out_dir: str, num_classes: int, names=None):
+    """Write raw + colorized prediction PNGs (reference
+    pixel_classifier.save_predictions)."""
+    import os
+    from PIL import Image
+    os.makedirs(os.path.join(out_dir, 'predictions'), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, 'visualizations'), exist_ok=True)
+    palette = get_palette(num_classes)
+    paths = []
+    for i, pred in enumerate(preds):
+        name = names[i] if names else f'pred_{i}'
+        p = np.asarray(pred, np.uint8)
+        Image.fromarray(p).save(
+            os.path.join(out_dir, 'predictions', f'{name}.png'))
+        Image.fromarray(colorize_mask(p, palette)).save(
+            os.path.join(out_dir, 'visualizations', f'{name}.png'))
+        paths.append(name)
+    return paths
+
+
 def load_label(path: str, size) -> np.ndarray:
     if path.endswith('.npy'):
         lab = np.load(path)

@@ -44,3 +44,18 @@ class TestMeshExtraction:
         f = fe.extract(prompts, 4, [make_image(i) for i in range(4)], t=50)
         arr = f['up-level1-repeat0-res-out']
         assert len(arr.sharding.device_set) == 4   # lives across the mesh
+
+
+class TestScarceViz:
+    def test_save_predictions_colorized(self, tmp_path):
+        from diffusion_feature_tpu.tasks.scarce.data import (
+            save_predictions, get_palette, colorize_mask)
+        pal = get_palette(5)
+        assert pal.shape == (5, 3) and (pal[0] == 0).all()
+        m = np.random.RandomState(0).randint(0, 5, (8, 8))
+        c = colorize_mask(m, pal)
+        assert c.shape == (8, 8, 3)
+        names = save_predictions([m], str(tmp_path), 5, ['x'])
+        import os
+        assert os.path.exists(tmp_path / 'predictions' / 'x.png')
+        assert os.path.exists(tmp_path / 'visualizations' / 'x.png')

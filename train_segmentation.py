@@ -100,6 +100,10 @@ def main(argv=None):
     parser.add_argument('--weights', type=str, default=None)
     parser.add_argument('--resume', type=str, default=None)
     parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--dp', type=int, default=1,
+                        help='data-parallel devices: batch shards over a '
+                             "'dp' mesh (replaces the reference's mmengine "
+                             'NCCL launcher, SURVEY §2.12)')
     args = parser.parse_args(argv)
 
     os.makedirs(args.work_dir, exist_ok=True)
@@ -151,11 +155,25 @@ def main(argv=None):
     key = jax.random.PRNGKey(args.seed)
     crop = (args.crop_size, args.crop_size)
 
+    batch_sh = repl = None
+    if args.dp > 1:
+        from diffusion_feature_tpu.parallel.mesh import (
+            make_mesh, batch_sharding, replicated)
+        assert args.batch_size % args.dp == 0, 'batch_size must divide dp'
+        mesh = make_mesh(dp=args.dp, tp=1, devices=jax.devices()[:args.dp])
+        batch_sh, repl = batch_sharding(mesh), replicated(mesh)
+        params = jax.device_put(params, jax.tree.map(lambda _: repl, params))
+        batch_stats = jax.device_put(
+            batch_stats, jax.tree.map(lambda _: repl, batch_stats))
+
     for it in range(start, args.max_iters):
         batch = [load_pair(*train_pairs[rng.randrange(len(train_pairs))],
                            crop, rng) for _ in range(args.batch_size)]
         images = jnp.asarray(np.stack([b[0] for b in batch]))
         labels = jnp.asarray(np.stack([b[1] for b in batch]))
+        if batch_sh is not None:
+            images = jax.device_put(images, batch_sh)
+            labels = jax.device_put(labels, batch_sh)
         key, dk = jax.random.split(key)
         (loss, (parts, batch_stats)), grads = grad_fn(
             params, batch_stats, images, labels, dk)
