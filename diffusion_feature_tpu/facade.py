@@ -326,6 +326,13 @@ class FeatureExtractor:
                 return p
 
         self.params = init_all()
+        if self.dtype != jnp.float32:
+            # store weights at the compute dtype (reference keeps fp16
+            # weights on GPU): halves HBM traffic and avoids per-op casts
+            self.params = jax.tree.map(
+                lambda x: x.astype(self.dtype)
+                if hasattr(x, 'dtype') and x.dtype == jnp.float32 else x,
+                self.params)
         if weights:
             self._load_weights(weights)
 
