@@ -104,6 +104,9 @@ def main(argv=None):
                         help='data-parallel devices: batch shards over a '
                              "'dp' mesh (replaces the reference's mmengine "
                              'NCCL launcher, SURVEY §2.12)')
+    parser.add_argument('--eval_only', action='store_true',
+                        help='skip training: evaluate --resume checkpoint '
+                             'on the val set (mmseg test.py role)')
     args = parser.parse_args(argv)
 
     os.makedirs(args.work_dir, exist_ok=True)
@@ -140,10 +143,27 @@ def main(argv=None):
             ck['params'], ck['batch_stats'], ck['opt_state'], ck['iter'])
 
     train_pairs = list_pairs(args.train_img_dir, args.train_label_dir)
-    assert train_pairs, 'no training pairs found'
     val_pairs = (list_pairs(args.val_img_dir, args.val_label_dir)
                  if args.val_img_dir else [])
     print(f'{len(train_pairs)} train / {len(val_pairs)} val pairs')
+
+    if args.eval_only:
+        assert val_pairs, 'eval_only needs --val_img_dir/--val_label_dir'
+        rng0 = random.Random(args.seed)
+        crop0 = (args.crop_size, args.crop_size)
+        preds, gts = [], []
+        for ip, lp in val_pairs:
+            img, lab = load_pair(ip, lp, crop0, rng0, train=False)
+            pred = seg.predict(params, batch_stats,
+                               jnp.asarray(img)[None], mode='slide',
+                               crop_size=crop0, stride=crop0)
+            preds.append(pred[0])
+            gts.append(lab)
+        _, miou = compute_iou(preds, gts, seg.head.num_classes,
+                              ignore_label=255)
+        print(f'eval mIoU: {miou:.4f}')
+        return
+    assert train_pairs, 'no training pairs found'
 
     def loss_fn(params, batch_stats, images, labels, rng):
         total, (parts, new_bs) = seg.loss(params, batch_stats, images,
