@@ -107,6 +107,7 @@ class FeatureExtractor:
         self._rng = jax.random.PRNGKey(seed)
         self.store_idx = None           # background extraction
         self._background_feats = {}
+        self._fn_cache = {}             # jitted step programs, per instance
 
         self._build_models(weights, seed, external_model)
         if offline_lora:
@@ -156,11 +157,14 @@ class FeatureExtractor:
             self.text_encoders = (
                 BertTextModel(cfg=spec.bert, dtype=self.dtype),
                 T5EncoderModel(cfg=spec.t5, dtype=self.dtype))
-            # BERT uses a WordPiece tokenizer; offline fallback is the hash
-            # tokenizer with the BERT vocab/special ids
+            # BERT WordPiece from the checkpoint's tokenizer/vocab.txt;
+            # hash tokenizer as the offline fallback
+            from .tokenizers.wordpiece import load_bert_tokenizer
             self.tokenizers = (
-                T5HashTokenizer(vocab_size=spec.bert.vocab_size,
-                                model_max_length=spec.dit.text_len),
+                load_bert_tokenizer(
+                    os.path.join(weights, 'tokenizer') if weights else None,
+                    model_max_length=spec.dit.text_len,
+                    vocab_size=spec.bert.vocab_size),
                 load_t5_tokenizer(
                     os.path.join(weights, 'tokenizer_2') if weights else None,
                     model_max_length=spec.dit.text_len_t5,
@@ -342,14 +346,18 @@ class FeatureExtractor:
         denoiser_comp = ('transformer'
                          if self.spec.family in ('pixart', 'flux', 'hunyuan')
                          else 'unet')
-        comp_map = [('unet', denoiser_comp), ('vae', 'vae')]
+        comp_map = [('unet', denoiser_comp)]
+        if self.spec.vae is not None:          # IF is pixel-space: no VAE dir
+            comp_map.append(('vae', 'vae'))
         for key, comp in comp_map:
             state = load_component_state(root, comp)
             self.params[key], _, unused = convert_torch_state(
                 state, self.params[key], dtype=self.dtype)
+        from .models.convert import rename_for_text_encoder
         text_dirs = ['text_encoder', 'text_encoder_2']
         for i in range(len(self.text_encoders)):
             state = load_component_state(root, text_dirs[i])
+            state = rename_for_text_encoder(state, self.text_encoders[i])
             self.params['text'][i], _, _ = convert_torch_state(
                 state, self.params['text'][i], dtype=self.dtype)
 
@@ -491,6 +499,17 @@ class FeatureExtractor:
             return self._extract_hunyuan(prompts, batch_size, image,
                                          image_type, t)
 
+        if use_ddim_inversion and (
+                spec.family != 'unet'
+                or getattr(spec.unet, 'addition_embed_type', None) is not None
+                or spec.scheduler_config.prediction_type != 'epsilon'):
+            # the reference only exercises DDIM inversion on the epsilon SD
+            # U-Nets (1-5/2-1); SDXL needs micro-conditioning the inversion
+            # loop doesn't thread, and v-prediction breaks its algebra
+            raise NotImplementedError(
+                'use_ddim_inversion supports the epsilon-prediction SD '
+                "U-Net families ('1-5'/'2-1'), as in the reference")
+
         enc_mask = None
         if spec.family == 'pixart':
             pe, enc_mask, _, _ = prompts
@@ -613,8 +632,10 @@ class FeatureExtractor:
                 feats, self.store_idx)
         return feats
 
-    @functools.lru_cache(maxsize=32)
     def _get_hunyuan_step_fn(self, t: int, num_inference_steps: int = 50):
+        key = ('hunyuan', t, num_inference_steps)
+        if key in self._fn_cache:
+            return self._fn_cache[key]
         """VAE encode -> DDPM add_noise at the img2img timestep -> ONE
         HunyuanDiT forward with taps (the reference pipeline's first-step
         early return)."""
@@ -651,10 +672,13 @@ class FeatureExtractor:
                     feats['attn'] = agg
             return feats
 
-        return self._jit_sharded(step)
+        self._fn_cache[key] = self._jit_sharded(step)
+        return self._fn_cache[key]
 
-    @functools.lru_cache(maxsize=32)
     def _get_flux_step_fn(self, t: int, num_inference_steps: int = 28):
+        key = ('flux', t, num_inference_steps)
+        if key in self._fn_cache:
+            return self._fn_cache[key]
         """One jitted program: VAE encode -> flow-match noise scale at
         sigma(t) -> 2x2 pack -> single Flux forward with taps (the
         reference's early-``return`` pipeline path, overlay
@@ -699,9 +723,9 @@ class FeatureExtractor:
                     feats['attn'] = agg
             return feats
 
-        return self._jit_sharded(step)
+        self._fn_cache[key] = self._jit_sharded(step)
+        return self._fn_cache[key]
 
-    @functools.lru_cache(maxsize=32)
     def _get_step_fn(self, t: int, denoising_from: Optional[int],
                      use_control: bool, use_ddim_inversion: bool):
         """Build & jit the fused extraction step for a given timestep config.
@@ -709,6 +733,9 @@ class FeatureExtractor:
         Reproduces reference extract() steps 3-9 (diffusion_feature.py:288-517)
         as one XLA program.
         """
+        key = ('step', t, denoising_from, use_control, use_ddim_inversion)
+        if key in self._fn_cache:
+            return self._fn_cache[key]
         spec = self.spec
         sched = self.scheduler
         state = sched.set_timesteps(1000)
@@ -823,7 +850,8 @@ class FeatureExtractor:
                     feats['attn'] = agg
             return feats
 
-        return self._jit_sharded(step)
+        self._fn_cache[key] = self._jit_sharded(step)
+        return self._fn_cache[key]
 
     def _jit_sharded(self, step):
         """jit the extraction step; with a mesh, shard the image batch over
@@ -885,8 +913,10 @@ class FeatureExtractor:
                 feats, self.store_idx)
         return images, (feats if return_features else None)
 
-    @functools.lru_cache(maxsize=8)
     def _get_sample_fn(self, num_inference_steps: int, guidance_scale: float):
+        key = ('sample', num_inference_steps, guidance_scale)
+        if key in self._fn_cache:
+            return self._fn_cache[key]
         spec = self.spec
         sched = self.scheduler
         state0 = sched.set_timesteps(num_inference_steps)
@@ -977,7 +1007,8 @@ class FeatureExtractor:
                     merged[k] = merged.get(k, ()) + vs
             return images, merged
 
-        return jax.jit(run)
+        self._fn_cache[key] = jax.jit(run)
+        return self._fn_cache[key]
 
     # ------------------------------------------------------------- background
     def set_background_extraction(self, idxs):

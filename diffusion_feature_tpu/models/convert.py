@@ -42,7 +42,8 @@ def _normalize_key(key: str) -> str:
 
 
 _LEAF_CANDIDATES = {
-    'weight': ('kernel', 'scale', 'embedding'),
+    # T5LayerNorm keeps the literal 'weight' param name
+    'weight': ('kernel', 'scale', 'embedding', 'weight'),
     'bias': ('bias',),
 }
 
@@ -100,6 +101,69 @@ def convert_torch_state(
         raise ValueError(f'{len(missing)} params not found in checkpoint, '
                          f'e.g. {missing[:5]}')
     return traverse_util.unflatten_dict(out), missing, unused
+
+
+def rename_t5_keys(state: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """HF T5 encoder keys -> our T5EncoderModel param paths
+    ('encoder.block.N.layer.0.SelfAttention.q' -> 'block_N.attn.q', etc.)."""
+    out = {}
+    for k, v in state.items():
+        kk = (k.replace('encoder.block.', 'block_')
+               .replace('.layer.0.SelfAttention.', '.attn.')
+               .replace('.layer.0.layer_norm.', '.ln1.')
+               .replace('.layer.1.DenseReluDense.wi_0.', '.wi_0.')
+               .replace('.layer.1.DenseReluDense.wi_1.', '.wi_1.')
+               .replace('.layer.1.DenseReluDense.wi.', '.wi_0.')
+               .replace('.layer.1.DenseReluDense.wo.', '.wo.')
+               .replace('.layer.1.layer_norm.', '.ln2.')
+               .replace('encoder.final_layer_norm.', 'final_layer_norm.')
+               .replace('encoder.embed_tokens.', 'shared.')
+               .replace('attn.relative_attention_bias.',
+                        'relative_attention_bias.'))
+        if kk.startswith('block_0.relative'):
+            kk = kk.replace('block_0.relative', 'relative')
+        out[kk] = v
+    return out
+
+
+def rename_bert_keys(state: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """HF BertModel keys -> our BertTextModel param paths."""
+    out = {}
+    for k, v in state.items():
+        if k.endswith('position_ids'):
+            continue
+        kk = (k.replace('bert.', '')
+               .replace('embeddings.word_embeddings.', 'word_embeddings.')
+               .replace('embeddings.position_embeddings.',
+                        'position_embeddings.')
+               .replace('embeddings.token_type_embeddings.',
+                        'token_type_embeddings.')
+               .replace('embeddings.LayerNorm.', 'LayerNorm.')
+               .replace('encoder.layer.', 'layer_')
+               .replace('.attention.self.query.', '.attention_self_query.')
+               .replace('.attention.self.key.', '.attention_self_key.')
+               .replace('.attention.self.value.', '.attention_self_value.')
+               .replace('.attention.output.dense.',
+                        '.attention_output_dense.')
+               .replace('.attention.output.LayerNorm.',
+                        '.attention_output_LayerNorm.')
+               .replace('.intermediate.dense.', '.intermediate_dense.')
+               .replace('.output.dense.', '.output_dense.')
+               .replace('.output.LayerNorm.', '.output_LayerNorm.'))
+        out[kk] = v
+    return out
+
+
+def rename_for_text_encoder(state: Dict[str, np.ndarray], encoder
+                            ) -> Dict[str, np.ndarray]:
+    """Dispatch HF-key renaming by our encoder module type (CLIP keys already
+    normalize structurally via _normalize_key)."""
+    name = type(encoder).__name__
+    if name == 'T5EncoderModel':
+        return rename_t5_keys(state)
+    if name == 'BertTextModel':
+        return rename_bert_keys(state)
+    return state
 
 
 def load_safetensors_dir(path: str) -> Dict[str, np.ndarray]:

@@ -439,7 +439,6 @@ class FluxTransformer2D(nn.Module):
         cos_np, sin_np = rope_cos_sin(ids, cfg.axes_dims_rope)
         cos = jnp.asarray(cos_np)
         sin = jnp.asarray(sin_np)
-        img_cos, img_sin = cos[self.text_len:], sin[self.text_len:]
 
         img = x
         for i in range(cfg.num_layers):

@@ -90,7 +90,12 @@ struct Pool {
                 queue.pop_front();
             }
             if (write_one(job) != 0) errors.fetch_add(1);
-            if (in_flight.fetch_sub(1) == 1) drained.notify_all();
+            // decrement under the mutex: otherwise flush() can test the
+            // predicate, lose this notify before blocking, and wait forever
+            {
+                std::lock_guard<std::mutex> lk(mu);
+                if (in_flight.fetch_sub(1) == 1) drained.notify_all();
+            }
         }
     }
 

@@ -117,16 +117,17 @@ def _reference_attention(q, k, v, scale):
                       preferred_element_type=jnp.float32).astype(q.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _flash_diff(q, k, v, scale):
-    return _flash_impl(q, k, v, scale=scale)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_diff(q, k, v, scale, block_q, block_k):
+    return _flash_impl(q, k, v, scale=scale, block_q=block_q, block_k=block_k)
 
 
-def _flash_diff_fwd(q, k, v, scale):
-    return _flash_impl(q, k, v, scale=scale), (q, k, v)
+def _flash_diff_fwd(q, k, v, scale, block_q, block_k):
+    return (_flash_impl(q, k, v, scale=scale, block_q=block_q,
+                        block_k=block_k), (q, k, v))
 
 
-def _flash_diff_bwd(scale, res, g):
+def _flash_diff_bwd(scale, block_q, block_k, res, g):
     q, k, v = res
     _, vjp = jax.vjp(lambda a, b, c: _reference_attention(a, b, c, scale),
                      q, k, v)
@@ -147,7 +148,7 @@ def flash_attention(
 ) -> jnp.ndarray:
     """(B, H, Sq, D) x (B, H, Sk, D) -> (B, H, Sq, D).  Pallas forward,
     einsum-softmax backward (differentiable for train_unet/prompt tuning)."""
-    return _flash_diff(q, k, v, scale)
+    return _flash_diff(q, k, v, scale, block_q, block_k)
 
 
 @functools.partial(jax.jit, static_argnames=('scale', 'block_q', 'block_k'))

@@ -81,14 +81,16 @@ class UPerHead(nn.Module):
                  dropout_rng=None):
         xs = [x.astype(jnp.float32).transpose(0, 2, 3, 1) for x in inputs]
 
-        # PSP on the deepest level
+        # PSP on the deepest level — exact adaptive pooling (mmseg uses
+        # AdaptiveAvgPool2d; fixed windows give wrong pyramid sizes when the
+        # scale doesn't divide the feature map)
+        from ...store import adaptive_avg_pool2d
         deep = xs[-1]
         b, h, w, c = deep.shape
         psp_outs = [deep]
         for i, scale in enumerate(self.pool_scales):
-            pooled = nn.avg_pool(
-                deep, window_shape=(max(1, h // scale), max(1, w // scale)),
-                strides=(max(1, h // scale), max(1, w // scale)))
+            pooled = adaptive_avg_pool2d(
+                deep.transpose(0, 3, 1, 2), (scale, scale)).transpose(0, 2, 3, 1)
             pooled = ConvModule(self.channels, 1, name=f'psp_{i}')(pooled, train)
             psp_outs.append(_resize_nhwc(pooled, (h, w)))
         psp = ConvModule(self.channels, 3, name='bottleneck')(

@@ -274,3 +274,30 @@ class TestCheckpointConfigAdaptation:
         assert adapted.vae.scaling_factor == 0.5
         # no config files -> unchanged
         assert _adapt_spec_to_checkpoint(spec, '/nonexistent') is spec
+
+
+class TestWordPiece:
+    def test_greedy_longest_match(self, tmp_path):
+        from diffusion_feature_tpu.tokenizers.wordpiece import WordPieceTokenizer
+        vocab = ['[PAD]', '[UNK]', '[CLS]', '[SEP]', 'un', '##aff', '##able',
+                 'cat', '!', 'running', 'run', '##ning']
+        vp = tmp_path / 'vocab.txt'
+        vp.write_text('\n'.join(vocab) + '\n')
+        tok = WordPieceTokenizer(str(vp), model_max_length=12)
+        ids, mask = tok('unaffable cat!')
+        v = {w: i for i, w in enumerate(vocab)}
+        expect = [v['[CLS]'], v['un'], v['##aff'], v['##able'], v['cat'],
+                  v['!'], v['[SEP]']]
+        assert ids[0][:7] == expect
+        assert mask[0][:7] == [1] * 7 and mask[0][7:] == [0] * 5
+        # longest-match picks 'running' whole, not run+##ning
+        ids2, _ = tok('running')
+        assert ids2[0][1] == v['running']
+
+    def test_unknown_word_is_unk(self, tmp_path):
+        from diffusion_feature_tpu.tokenizers.wordpiece import WordPieceTokenizer
+        vp = tmp_path / 'v.txt'
+        vp.write_text('[PAD]\n[UNK]\n[CLS]\n[SEP]\n')
+        tok = WordPieceTokenizer(str(vp), model_max_length=8)
+        ids, _ = tok('zzz')
+        assert ids[0][1] == 1   # [UNK]

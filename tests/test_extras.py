@@ -180,3 +180,13 @@ class TestTrainUnet:
         # features stayed full precision (no bf16 cast in train mode)
         feats = fn(fe.params, img, pe_b, None, None, rng)
         assert feats['up-level1-repeat0-res-out'].dtype == jnp.float32
+
+
+class TestDDIMGuard:
+    def test_xl_rejects_ddim_inversion(self):
+        fe = FeatureExtractor(layer=LAYER, version='test-xl', img_size=64,
+                              dtype='float32')
+        prompts = fe.encode_prompt('a cat')
+        with pytest.raises(NotImplementedError):
+            fe.extract(prompts, 1, [make_image()], t=50,
+                       use_ddim_inversion=True)

@@ -93,25 +93,11 @@ class TestT5Parity:
         import jax
         params0 = ours.init(jax.random.PRNGKey(0),
                             jnp.asarray(ids, jnp.int32))['params']
+        from diffusion_feature_tpu.models.convert import rename_t5_keys
         state = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
-        # T5 keys need their encoder.block wrappers normalized to our names
-        renamed = {}
-        for k, v in state.items():
-            kk = (k.replace('encoder.block.', 'block_')
-                   .replace('.layer.0.SelfAttention.', '.attn.')
-                   .replace('.layer.0.layer_norm.', '.ln1.')
-                   .replace('.layer.1.DenseReluDense.wi_0.', '.wi_0.')
-                   .replace('.layer.1.DenseReluDense.wi_1.', '.wi_1.')
-                   .replace('.layer.1.DenseReluDense.wo.', '.wo.')
-                   .replace('.layer.1.layer_norm.', '.ln2.')
-                   .replace('encoder.final_layer_norm.', 'final_layer_norm.')
-                   .replace('attn.relative_attention_bias.',
-                            'relative_attention_bias.'))
-            if kk.startswith('block_0.relative'):
-                kk = kk.replace('block_0.relative', 'relative')
-            renamed[kk] = v
-        renamed = {k: v for k, v in renamed.items() if k != 'encoder.embed_tokens.weight'}
-        params, _, unused = convert_torch_state(renamed, params0, strict=False)
+        params, missing, _ = convert_torch_state(rename_t5_keys(state),
+                                                 params0, strict=True)
+        assert not missing
 
         with torch.no_grad():
             out = hf(input_ids=torch.from_numpy(ids),
@@ -148,25 +134,11 @@ class TestBertParity:
         import jax
         params0 = ours.init(jax.random.PRNGKey(0),
                             jnp.asarray(ids, jnp.int32))['params']
-        state = {}
-        for k, v in hf.state_dict().items():
-            kk = (k.replace('embeddings.word_embeddings.', 'word_embeddings.')
-                   .replace('embeddings.position_embeddings.', 'position_embeddings.')
-                   .replace('embeddings.token_type_embeddings.', 'token_type_embeddings.')
-                   .replace('embeddings.LayerNorm.', 'LayerNorm.')
-                   .replace('encoder.layer.', 'layer_'))
-            state[kk] = v.detach().numpy()
-        state.pop('position_ids', None)
-        params, _, _ = convert_torch_state(
-            {k.replace('.attention.self.query.', '.attention_self_query.')
-              .replace('.attention.self.key.', '.attention_self_key.')
-              .replace('.attention.self.value.', '.attention_self_value.')
-              .replace('.attention.output.dense.', '.attention_output_dense.')
-              .replace('.attention.output.LayerNorm.', '.attention_output_LayerNorm.')
-              .replace('.intermediate.dense.', '.intermediate_dense.')
-              .replace('.output.dense.', '.output_dense.')
-              .replace('.output.LayerNorm.', '.output_LayerNorm.'): v
-             for k, v in state.items()}, params0, strict=False)
+        from diffusion_feature_tpu.models.convert import rename_bert_keys
+        state = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+        params, missing, _ = convert_torch_state(rename_bert_keys(state),
+                                                 params0, strict=True)
+        assert not missing
 
         with torch.no_grad():
             out = hf(input_ids=torch.from_numpy(ids),

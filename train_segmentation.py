@@ -72,12 +72,12 @@ def load_pair(img_path, label_path, crop, rng: random.Random,
         lab = np.pad(lab, ((0, pad_h), (0, pad_w)), constant_values=255)
         H, W = img.shape[:2]
     if train:
+        # random crop for training; evaluation keeps the FULL image so
+        # sliding-window inference covers it all (mmseg semantics)
         y = rng.randrange(H - ch + 1)
         x = rng.randrange(W - cw + 1)
-    else:
-        y = x = 0
-    img = img[y:y + ch, x:x + cw]
-    lab = lab[y:y + ch, x:x + cw]
+        img = img[y:y + ch, x:x + cw]
+        lab = lab[y:y + ch, x:x + cw]
     # normalize to [-1, 1] (reference mean/std 127.5)
     img = (img.astype(np.float32) - 127.5) / 127.5
     return img.transpose(2, 0, 1), lab.astype(np.int32)
