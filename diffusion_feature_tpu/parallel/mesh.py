@@ -52,8 +52,13 @@ def _param_pspec(path: Tuple[str, ...], value) -> P:
     """
     name = path[-2] if len(path) >= 2 else ''
     leaf = path[-1]
-    col = name in ('to_q', 'to_k', 'to_v') or name == 'proj'  # GEGLU proj
-    row = name in ('to_out_0', 'net_2')
+    # column-parallel (shard output features): qkv projections (incl. Flux's
+    # context-stream add_*_proj), FFN in-projections (GEGLU 'proj', Flux
+    # 'net_0_proj'/'proj_mlp')
+    col = name in ('to_q', 'to_k', 'to_v', 'add_q_proj', 'add_k_proj',
+                   'add_v_proj', 'proj', 'net_0_proj', 'proj_mlp')
+    # row-parallel (shard input features): output projections
+    row = name in ('to_out_0', 'to_add_out', 'net_2', 'proj_out')
     if leaf == 'kernel' and value.ndim == 2:
         if col:
             return P(None, 'tp')
