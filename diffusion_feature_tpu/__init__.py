@@ -20,6 +20,11 @@ def _enable_persistent_compilation_cache():
         return
     try:
         import jax
+        # some PJRT plugins (e.g. tunneled TPUs) register themselves even
+        # when JAX_PLATFORMS says otherwise; enforce the user's choice
+        plat = _os.environ.get('JAX_PLATFORMS')
+        if plat:
+            jax.config.update('jax_platforms', plat)
         cache_dir = _os.environ.get(
             'JAX_COMPILATION_CACHE_DIR',
             _os.path.join(_os.path.expanduser('~'), '.cache',

@@ -58,6 +58,8 @@ def build_parser():
     # tpu-specific
     parser.add_argument('--weights', type=str, default=None,
                         help='local diffusers checkpoint dir')
+    parser.add_argument('--dp', type=int, default=1,
+                        help='shard the batch over a dp device mesh')
     # debug
     parser.add_argument('--show_all_layers', action='store_true')
     return parser
@@ -71,9 +73,16 @@ def main(argv=None):
     if args.show_all_layers:
         args.layer = None
 
+    mesh = None
+    if args.dp > 1:
+        import jax
+        from diffusion_feature_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(dp=args.dp, tp=1, devices=jax.devices()[:args.dp])
+
     df = FeatureExtractor(
         resolve_layer_config(args.layer),
         args.version,
+        mesh=mesh,
         dtype=args.dtype,
         offline_lora=args.offline_lora,
         offline_lora_filename=args.offline_lora_filename,
@@ -126,10 +135,13 @@ def main(argv=None):
     if writer.is_native:
         print('native async dump writer active')
 
+    # double-buffered input pipeline: decode ahead of the device
+    from diffusion_feature_tpu.io.prefetch import PrefetchLoader
+    loader = PrefetchLoader(imgs, args.batch_size,
+                            lambda p: Image.open(p).convert('RGB'))
+
     i = 0
-    while i < len(imgs):
-        batch_paths = imgs[i:i + args.batch_size]
-        sublist = [Image.open(p) for p in batch_paths]
+    for batch_paths, sublist in loader:
         features = df.extract(
             prompts, len(sublist), sublist,
             t=args.t,

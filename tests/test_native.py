@@ -65,3 +65,27 @@ class TestAsyncDumpWriter:
         for p in paths:
             assert os.path.exists(p)
         assert np.load(paths[0]).shape == (3, 4, 4)
+
+
+class TestPrefetchLoader:
+    def test_order_and_batching(self):
+        from diffusion_feature_tpu.io.prefetch import PrefetchLoader
+        import time
+        paths = [f'p{i}' for i in range(7)]
+        def slow_load(p):
+            time.sleep(0.01)
+            return p.upper()
+        loader = PrefetchLoader(paths, batch_size=3, loader=slow_load)
+        assert len(loader) == 3
+        got = list(loader)
+        assert [b for b, _ in got] == [['p0','p1','p2'], ['p3','p4','p5'], ['p6']]
+        assert got[0][1] == ['P0', 'P1', 'P2']
+        assert got[2][1] == ['P6']
+
+    def test_error_propagates(self):
+        from diffusion_feature_tpu.io.prefetch import PrefetchLoader
+        def bad(p):
+            raise IOError('decode failed')
+        loader = PrefetchLoader(['a'], 1, bad)
+        with pytest.raises(IOError):
+            list(loader)
