@@ -1119,6 +1119,10 @@ def _adapt_spec_to_checkpoint(spec: ModelSpec, weights: str) -> ModelSpec:
             from .models.unet_if import IFUNetConfig
             updates['unet'] = IFUNetConfig.from_diffusers_config(
                 load_component_config(weights, 'unet'))
+        elif spec.dit is not None and os.path.exists(
+                os.path.join(weights, 'transformer', 'config.json')):
+            updates['dit'] = spec.dit.from_diffusers_config(
+                load_component_config(weights, 'transformer'))
         if spec.vae is not None and os.path.exists(
                 os.path.join(weights, 'vae', 'config.json')):
             updates['vae'] = spec.vae.from_diffusers_config(

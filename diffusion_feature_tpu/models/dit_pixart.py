@@ -47,6 +47,23 @@ class PixArtConfig:
         return self.num_attention_heads * self.attention_head_dim
 
 
+def _pixart_from_diffusers_config(d: dict) -> 'PixArtConfig':
+    return PixArtConfig(
+        sample_size=d.get('sample_size', 64),
+        patch_size=d.get('patch_size', 2),
+        in_channels=d.get('in_channels', 4),
+        out_channels=d.get('out_channels', 8),
+        num_layers=d.get('num_layers', 28),
+        num_attention_heads=d.get('num_attention_heads', 16),
+        attention_head_dim=d.get('attention_head_dim', 72),
+        cross_attention_dim=d.get('cross_attention_dim', 1152),
+        caption_channels=d.get('caption_channels', 4096),
+        interpolation_scale=d.get('interpolation_scale', 1) or 1,
+    )
+
+
+PixArtConfig.from_diffusers_config = staticmethod(_pixart_from_diffusers_config)
+
 PIXART_ALPHA_512 = PixArtConfig(sample_size=64, interpolation_scale=1)
 PIXART_SIGMA_512 = PixArtConfig(sample_size=64, interpolation_scale=1)
 PIXART_SIGMA_1024 = PixArtConfig(sample_size=128, interpolation_scale=2)

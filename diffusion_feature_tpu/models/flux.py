@@ -61,6 +61,22 @@ class FluxConfig:
         return self.num_attention_heads * self.attention_head_dim
 
 
+def _flux_from_diffusers_config(d: dict) -> 'FluxConfig':
+    return FluxConfig(
+        in_channels=d.get('in_channels', 64),
+        num_layers=d.get('num_layers', 19),
+        num_single_layers=d.get('num_single_layers', 38),
+        attention_head_dim=d.get('attention_head_dim', 128),
+        num_attention_heads=d.get('num_attention_heads', 24),
+        joint_attention_dim=d.get('joint_attention_dim', 4096),
+        pooled_projection_dim=d.get('pooled_projection_dim', 768),
+        guidance_embeds=d.get('guidance_embeds', True),
+        axes_dims_rope=tuple(d.get('axes_dims_rope', (16, 56, 56))),
+    )
+
+
+FluxConfig.from_diffusers_config = staticmethod(_flux_from_diffusers_config)
+
 FLUX_DEV = FluxConfig()
 
 

@@ -58,6 +58,31 @@ class HunyuanConfig:
         return self.hidden_size // self.num_attention_heads
 
 
+def _hunyuan_from_diffusers_config(d: dict) -> 'HunyuanConfig':
+    heads = d.get('num_attention_heads', 16)
+    return HunyuanConfig(
+        sample_size=d.get('sample_size', 128),
+        patch_size=d.get('patch_size', 2),
+        in_channels=d.get('in_channels', 4),
+        out_channels=(d.get('in_channels', 4) * 2
+                      if d.get('learn_sigma', True) else d.get('in_channels', 4)),
+        hidden_size=d.get('hidden_size',
+                          heads * d.get('attention_head_dim', 88)),
+        num_layers=d.get('num_layers', 40),
+        num_attention_heads=heads,
+        cross_attention_dim=d.get('cross_attention_dim', 1024),
+        cross_attention_dim_t5=d.get('cross_attention_dim_t5', 2048),
+        pooled_projection_dim=d.get('pooled_projection_dim', 1024),
+        text_len=d.get('text_len', 77),
+        text_len_t5=d.get('text_len_t5', 256),
+        mlp_ratio=d.get('mlp_ratio', 4.3056640625),
+        use_style_cond_and_image_meta_size=d.get(
+            'use_style_cond_and_image_meta_size', True),
+    )
+
+
+HunyuanConfig.from_diffusers_config = staticmethod(_hunyuan_from_diffusers_config)
+
 HUNYUAN_DIT = HunyuanConfig()
 
 

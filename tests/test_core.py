@@ -301,3 +301,28 @@ class TestWordPiece:
         tok = WordPieceTokenizer(str(vp), model_max_length=8)
         ids, _ = tok('zzz')
         assert ids[0][1] == 1   # [UNK]
+
+
+class TestDiTConfigAdaptation:
+    def test_flux_and_pixart_adapt(self, tmp_path):
+        import json, os
+        from diffusion_feature_tpu.facade import _adapt_spec_to_checkpoint
+        from diffusion_feature_tpu.models.registry import get_model_spec
+        os.makedirs(tmp_path / 'transformer')
+        json.dump({'num_layers': 4, 'num_single_layers': 8,
+                   'attention_head_dim': 64, 'num_attention_heads': 8,
+                   'guidance_embeds': False},
+                  open(tmp_path / 'transformer' / 'config.json', 'w'))
+        spec = get_model_spec('flux')
+        adapted = _adapt_spec_to_checkpoint(spec, str(tmp_path))
+        assert adapted.dit.num_layers == 4
+        assert adapted.dit.num_single_layers == 8
+        assert adapted.dit.guidance_embeds is False
+
+        json.dump({'num_layers': 3, 'attention_head_dim': 16,
+                   'num_attention_heads': 4, 'cross_attention_dim': 64},
+                  open(tmp_path / 'transformer' / 'config.json', 'w'))
+        spec2 = get_model_spec('pixart-alpha')
+        adapted2 = _adapt_spec_to_checkpoint(spec2, str(tmp_path))
+        assert adapted2.dit.num_layers == 3
+        assert adapted2.dit.inner_dim == 64
