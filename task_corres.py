@@ -102,6 +102,14 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     os.makedirs(args.task_path, exist_ok=True)
+    # print + flat-file logger (reference task-corres.py:26-31)
+    logf = open(os.path.join(args.task_path, 'log.txt'), 'a')
+
+    def log(s):
+        print(s)
+        logf.write(s + '\n')
+        logf.flush()
+
     with open(args.config) as f:
         configs = json.load(f)
     if isinstance(configs, dict):
@@ -141,11 +149,11 @@ def main(argv=None):
         updates, opt_state = update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         if step % 50 == 0:
-            print(f'step {step}: loss {float(loss):.4f}')
+            log(f'step {step}: loss {float(loss):.4f}')
         if (step + 1) % args.val_every == 0:
             pck_img, pck_bbox = validate(net, params, val_anns,
                                          args.dataset_path)
-            print(f'val/pck_img: {pck_img:.4f}  val/pck_bbox: {pck_bbox:.4f}')
+            log(f'val/pck_img: {pck_img:.4f}  val/pck_bbox: {pck_bbox:.4f}')
             save_checkpoint(
                 os.path.join(args.task_path, f'checkpoint_step_{step+1}.pkl'),
                 step + 1, configs, params, opt_state)
