@@ -71,7 +71,18 @@ def main(argv=None):
     print(f'Run folder: {args.output_dir}')
 
     if args.show_all_layers:
-        args.layer = None
+        # pure shape enumeration: no weights, no forward pass, milliseconds
+        # even for the 12B models (the reference needs a full real forward,
+        # extract_feature.py:102-110)
+        from diffusion_feature_tpu.enumerate_layers import enumerate_layers
+        layer_record = {}
+        for k, shape in sorted(enumerate_layers(args.version,
+                                                args.img_size).items()):
+            print(k, tuple(shape[1:]))
+            layer_record[k] = True
+        with open('layer_record.json', 'w') as f:
+            f.write(json.dumps(layer_record))
+        return
 
     mesh = None
     if args.dp > 1:
@@ -92,16 +103,6 @@ def main(argv=None):
         img_size=args.img_size,
         weights=args.weights,
     )
-
-    if args.show_all_layers:
-        # enumeration needs no weights and no forward pass (jax.eval_shape)
-        layer_record = {}
-        for k, shape in sorted(df.show_all_layers().items()):
-            print(k, tuple(shape[1:]))
-            layer_record[k] = True
-        with open('layer_record.json', 'w') as f:
-            f.write(json.dumps(layer_record))
-        return
 
     # input list (reference :68-75)
     from PIL import Image
