@@ -71,3 +71,24 @@ class TestRealSizeEnumeration:
         assert shapes['vit-block56-out'] == (1, 3072, 64, 64)
         assert shapes['vit-block0-cross-map'] == (1, 24, 4096, 512)
         assert shapes['vit-block0-self-map'] == (1, 24, 4096, 4096)
+
+
+REFERENCE = '/root/reference/feature/configs'
+
+
+@pytest.mark.skipif(not __import__('os').path.isdir(REFERENCE),
+                    reason='reference checkout not mounted')
+class TestReferenceConfigParity:
+    def test_layer_id_sets_match_reference_full_configs(self):
+        """Byte-exact tap-id parity: our enumerated surfaces equal the
+        reference's config_15_full.json (197 ids) and config_xl_full.json
+        (612 ids) element for element."""
+        import json, os
+        ours = set(enumerate_layers('1-5', 512))
+        ref = set(json.load(open(os.path.join(REFERENCE,
+                                              'config_15_full.json'))))
+        assert ours == ref
+        ours_xl = set(enumerate_layers('xl', 1024))
+        ref_xl = set(json.load(open(os.path.join(REFERENCE,
+                                                 'config_xl_full.json'))))
+        assert ours_xl == ref_xl
