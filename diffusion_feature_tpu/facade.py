@@ -126,9 +126,16 @@ class FeatureExtractor:
         spec = self.spec
         if external_model is not None:
             # reuse another extractor's models/params (reference
-            # external_model path, diffusion_feature.py:46-47)
+            # external_model path, diffusion_feature.py:46-47).  The shared
+            # denoiser is re-instrumented with THIS extractor's tap spec —
+            # the reference re-runs prepare_feature_extractor on the shared
+            # pipe (:59); taps never affect params, so the trees share.
             src = external_model
-            self.unet, self.vae = src.unet, src.vae
+            kw = {'taps': self.taps}
+            if hasattr(src.unet, 'attn_store_sizes'):
+                kw['attn_store_sizes'] = self._attn_sizes
+            self.unet = src.unet.clone(**kw)
+            self.vae = src.vae
             self.text_encoders = src.text_encoders
             self.tokenizers = src.tokenizers
             self.params = src.params

@@ -155,3 +155,16 @@ class TestEnsemble:
         per = fe_sd.extract_ensemble(p1, 1, [make_image(0)], ts=[50],
                                      prompt_list=[p1, p2], concat=False)
         assert set(per) == {(0, 0), (0, 1)}
+
+
+class TestExternalModel:
+    def test_shared_params_new_tap_spec(self, fe_sd):
+        # reference external_model semantics: share the pipe, re-instrument
+        # with the NEW extractor's layer config (diffusion_feature.py:46-59)
+        fe2 = FeatureExtractor(layer={'down-level0-repeat0-res-out': True},
+                               version='test-sd', img_size=64,
+                               dtype='float32', external_model=fe_sd)
+        assert fe2.params is fe_sd.params          # weights shared
+        prompts = fe2.encode_prompt('a cat')
+        feats = fe2.extract(prompts, 1, [make_image()], t=50)
+        assert set(feats) == {'down-level0-repeat0-res-out'}
