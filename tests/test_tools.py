@@ -86,3 +86,17 @@ class TestVisualizationCLI:
         files = os.listdir(out)
         assert 'layer_block0.png' in files and 'layer_block1.png' in files
         assert sum(1 for f in files if 'attn0_tok' in f) == 6
+
+
+class TestXLSampling:
+    def test_xl_cfg_micro_conditioning_path(self):
+        # CFG doubles the batch; pooled embeds concat [neg; pos] and
+        # time_ids follow (facade added_cond in _get_sample_fn)
+        fe = FeatureExtractor(layer={'mid-vit-block0-cross-q': True},
+                              version='test-xl', img_size=64, dtype='float32')
+        prompts = fe.encode_prompt('a cat')
+        images, feats = fe.sample(prompts, batch_size=1,
+                                  num_inference_steps=2, guidance_scale=5.0)
+        assert images.shape == (1, 3, 64, 64)
+        assert np.isfinite(np.asarray(images, np.float32)).all()
+        assert feats['mid-vit-block0-cross-q'][0].shape[0] == 2  # CFG batch
