@@ -190,3 +190,26 @@ class TestDDIMGuard:
         with pytest.raises(NotImplementedError):
             fe.extract(prompts, 1, [make_image()], t=50,
                        use_ddim_inversion=True)
+
+
+class TestLoRADialects:
+    def test_collect_pairs_kohya_and_legacy(self):
+        from diffusion_feature_tpu.models.lora import collect_lora_pairs
+        rng = np.random.RandomState(0)
+        d = rng.randn(4, 8).astype(np.float32)
+        u = rng.randn(8, 4).astype(np.float32)
+        state = {
+            # kohya with alpha
+            'lora_unet_mid_block_attentions_0_to_q.lora_down.weight': d,
+            'lora_unet_mid_block_attentions_0_to_q.lora_up.weight': u,
+            'lora_unet_mid_block_attentions_0_to_q.alpha': np.float32(2.0),
+            # legacy diffusers attn-procs
+            'mid_block.attentions.0.to_k.lora.down.weight': d,
+            'mid_block.attentions.0.to_k.lora.up.weight': u,
+        }
+        pairs = collect_lora_pairs(state)
+        assert len(pairs) == 2
+        kohya = pairs['mid_block_attentions_0_to_q']
+        assert kohya[2] == pytest.approx(2.0 / 4)        # alpha / rank
+        legacy = pairs['mid_block.attentions.0.to_k']
+        assert legacy[2] == pytest.approx(1.0)           # default scale
