@@ -151,3 +151,31 @@ class TestSegmentor:
         assert seg._pick_t(is_test=True) == 50
         ts = {seg._pick_t(is_test=False) for _ in range(20)}
         assert ts <= {50, 100} and len(ts) == 2
+
+
+class TestPromptTuning:
+    def test_meta_prompt_receives_gradients(self):
+        """prompt_tuning=True replaces the prompt embeds with trainable
+        tensors whose gradients flow through the jitted extraction step
+        (reference diffusion_segmentor.py:109-126, ade_vpd config)."""
+        seg = DiffusionSegmentor(
+            diffusion_feature={'layer': {'up-level1-repeat0-res-out': True},
+                               'version': 'test-sd', 'attention': None,
+                               'img_size': 64, 't': 50,
+                               'train_unet': False, 'dtype': 'float32'},
+            feature_layers=[[('up-level1-repeat0-res-out', 32)]],
+            num_classes=3, head_channels=16, pool_scales=(1, 2),
+            prompt='wall building sky', prompt_tuning=True)
+        params, bs = seg.init_state()
+        assert 'meta_prompt' in params
+        rng = np.random.RandomState(0)
+        images = jnp.asarray(rng.rand(1, 3, 64, 64).astype(np.float32))
+        labels = jnp.asarray(rng.randint(0, 3, (1, 64, 64)))
+
+        def loss_fn(p):
+            total, _ = seg.loss(p, bs, images, labels, jax.random.PRNGKey(0))
+            return total
+
+        grads = jax.grad(loss_fn)(params)
+        g = float(jnp.linalg.norm(grads['meta_prompt'].astype(jnp.float32)))
+        assert np.isfinite(g) and g > 0
