@@ -77,10 +77,14 @@ def tiny_pixart_config() -> PixArtConfig:
 
 def sincos_2d_pos_embed(dim: int, grid: int, base_size: int,
                         interpolation_scale: float) -> np.ndarray:
-    """diffusers get_2d_sincos_pos_embed numerics."""
+    """diffusers get_2d_sincos_pos_embed numerics.
+
+    MAE-lineage axis convention: ``np.meshgrid(grid_w, grid_h)`` puts the
+    COLUMN (w) coordinate in grid[0], so the first half of the embedding dim
+    encodes w and the second half h.  Tokens flatten row-major (r*W + c).
+    """
     g = np.arange(grid, dtype=np.float64) / (grid / base_size) / interpolation_scale
-    gy, gx = np.meshgrid(g, g)          # note: meshgrid default indexing 'xy'
-    grid_arr = np.stack([gx, gy], axis=0).reshape(2, 1, grid, grid)
+    col, row = np.meshgrid(g, g)        # 'xy': col[i,j]=g[j], row[i,j]=g[i]
 
     def embed_1d(d, pos):
         omega = np.arange(d // 2, dtype=np.float64) / (d / 2.0)
@@ -88,9 +92,9 @@ def sincos_2d_pos_embed(dim: int, grid: int, base_size: int,
         out = np.einsum('m,d->md', pos.reshape(-1), omega)
         return np.concatenate([np.sin(out), np.cos(out)], axis=1)
 
-    emb_h = embed_1d(dim // 2, grid_arr[0])
-    emb_w = embed_1d(dim // 2, grid_arr[1])
-    return np.concatenate([emb_h, emb_w], axis=1)  # (grid², dim)
+    emb_w = embed_1d(dim // 2, col)     # first half <- w (grid[0])
+    emb_h = embed_1d(dim // 2, row)
+    return np.concatenate([emb_w, emb_h], axis=1)  # (grid², dim)
 
 
 class PixArtBlock(nn.Module):
@@ -174,13 +178,15 @@ class PixArtTransformer2D(nn.Module):
                                   cfg.interpolation_scale)
         x = x + jnp.asarray(pos, self.dtype)[None]
 
-        # 2. AdaLayerNormSingle: shared 6*dim modulation
+        # 2. AdaLayerNormSingle: shared 6*dim modulation (module names map
+        # the torch keys adaln_single.emb.timestep_embedder.* / .linear.*)
         t_proj = timestep_embedding(
             jnp.broadcast_to(jnp.asarray(timestep, jnp.float32).reshape(-1), (b,)),
             256).astype(self.dtype)
-        emb = TimestepEmbedding(dim, dtype=self.dtype,
-                                name='adaln_timestep_embedder')(t_proj)
-        t6 = nn.Dense(6 * dim, dtype=self.dtype, name='adaln_linear')(
+        emb = TimestepEmbedding(
+            dim, dtype=self.dtype,
+            name='adaln_single_emb_timestep_embedder')(t_proj)
+        t6 = nn.Dense(6 * dim, dtype=self.dtype, name='adaln_single_linear')(
             nn.silu(emb))
 
         # 3. caption projection (T5 -> dim)

@@ -97,11 +97,16 @@ def tiny_hunyuan_config() -> HunyuanConfig:
 def hunyuan_rope(grid: int, head_dim: int, base_size: int):
     """2D RoPE tables (get_2d_rotary_pos_embed + the pipeline's
     resize-crop-region scaling): square grids map positions onto a
-    ``base_size`` frame."""
+    ``base_size`` frame.
+
+    Axis convention matches diffusers' MAE-lineage meshgrid: the FIRST
+    head_dim/2 rotary dims rotate by the COLUMN (w) coordinate
+    (grid[0] of ``np.meshgrid(grid_w, grid_h)``), the second half by the
+    row.  Tokens flatten row-major."""
     # get_resize_crop_region_for_grid for square input -> ((0,0),(base,base))
     pos = np.linspace(0, base_size, grid, endpoint=False, dtype=np.float64)
-    gy, gx = np.meshgrid(pos, pos, indexing='ij')
-    ids = np.stack([gy.reshape(-1), gx.reshape(-1)], axis=1)  # (S, 2)
+    row, col = np.meshgrid(pos, pos, indexing='ij')
+    ids = np.stack([col.reshape(-1), row.reshape(-1)], axis=1)  # (S, 2): w, h
     return rope_cos_sin(ids, (head_dim // 2, head_dim // 2))
 
 
@@ -169,7 +174,9 @@ class HunyuanDiTBlock(nn.Module):
         cfg = self.cfg
         dim = cfg.hidden_size
         if self.with_skip:
-            cat = jnp.concatenate([skip, x], axis=-1)
+            # diffusers HunyuanDiTBlock: cat([hidden_states, skip]) — the
+            # trained skip_linear expects x in the FIRST half
+            cat = jnp.concatenate([x, skip], axis=-1)
             cat = nn.LayerNorm(epsilon=cfg.norm_eps, dtype=self.dtype,
                                name='skip_norm')(cat)
             x = nn.Dense(dim, dtype=self.dtype, name='skip_linear')(cat)

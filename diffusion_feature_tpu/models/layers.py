@@ -59,14 +59,19 @@ def timestep_embedding(timesteps: jnp.ndarray, dim: int,
 
 
 class TimestepEmbedding(nn.Module):
-    """linear -> silu -> linear (diffusers TimestepEmbedding)."""
+    """linear -> act -> linear (diffusers TimestepEmbedding; act_fn 'silu'
+    default, 'gelu' for DeepFloyd-IF — torch GELU is exact/erf)."""
     embed_dim: int
+    act_fn: str = 'silu'
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, sample):
         sample = nn.Dense(self.embed_dim, dtype=self.dtype, name='linear_1')(sample)
-        sample = nn.silu(sample)
+        if self.act_fn == 'gelu':
+            sample = nn.gelu(sample, approximate=False)
+        else:
+            sample = nn.silu(sample)
         sample = nn.Dense(self.embed_dim, dtype=self.dtype, name='linear_2')(sample)
         return sample
 

@@ -306,6 +306,12 @@ class UNet2DConditionModel(nn.Module):
             emb = emb + aug_emb
 
         context = encoder_hidden_states.astype(self.dtype)
+        if encoder_attention_mask is not None:
+            # diffusers converts the 0/1 keep-mask to an additive bias at
+            # UNet entry: (1 - m) * -10000
+            encoder_attention_mask = (
+                (1.0 - encoder_attention_mask.astype(jnp.float32))
+                * -10000.0)[:, None, None, :].astype(self.dtype)
 
         # 2. conv_in
         x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1,
@@ -329,10 +335,11 @@ class UNet2DConditionModel(nn.Module):
             skips.extend(outs)
             ch = out_ch
 
+        # diffusers only augments the skip list; the mid-block input is NOT
+        # replaced (overlay unet_2d_condition.py:1236-1245)
         if down_block_additional_residuals is not None:
             skips = [s + r.astype(s.dtype)
                      for s, r in zip(skips, down_block_additional_residuals)]
-            x = skips[-1]
 
         # 4. mid
         x = UNetMidBlock2DCrossAttn(

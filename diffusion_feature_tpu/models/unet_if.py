@@ -55,6 +55,8 @@ class IFUNetConfig:
     encoder_hid_dim: int = 4096            # T5-XXL width
     norm_eps: float = 1e-5
     act_fn: str = 'gelu'
+    addition_embed_type: Optional[str] = 'text'   # attention-pooled text
+    addition_embed_type_num_heads: int = 64
 
     @property
     def time_embed_dim(self) -> int:
@@ -77,11 +79,14 @@ def tiny_if_config() -> IFUNetConfig:
         down_block_types=('ResnetDownsampleBlock2D', 'SimpleCrossAttnDownBlock2D'),
         up_block_types=('SimpleCrossAttnUpBlock2D', 'ResnetUpsampleBlock2D'),
         layers_per_block=1, attention_head_dim=16,
-        cross_attention_dim=64, encoder_hid_dim=32)
+        cross_attention_dim=64, encoder_hid_dim=32,
+        addition_embed_type_num_heads=4)
 
 
 def _act(name: str):
-    return nn.gelu if name == 'gelu' else nn.silu
+    if name == 'gelu':
+        return lambda x: nn.gelu(x, approximate=False)   # torch-exact GELU
+    return nn.silu
 
 
 class IFResnetBlock(nn.Module):
@@ -116,7 +121,7 @@ class IFResnetBlock(nn.Module):
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name='conv1')(h)
         t = nn.Dense(self.out_channels * 2, dtype=self.dtype,
-                     name='time_emb_proj')(nn.silu(temb))
+                     name='time_emb_proj')(act(temb))
         scale, shift = jnp.split(t[:, None, None, :], 2, axis=-1)
         h = nn.GroupNorm(num_groups=32, epsilon=self.eps, dtype=self.dtype,
                          name='norm2')(h)
@@ -125,7 +130,7 @@ class IFResnetBlock(nn.Module):
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name='conv2')(h)
         sow_tap(self, 'increment', h, layout='nhwc')
-        if self.in_channels != self.out_channels or self.down or self.up:
+        if self.in_channels != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
                         name='conv_shortcut')(x)
         out = x + h
@@ -163,6 +168,42 @@ class AddedKVAttention(nn.Module):
         return out.reshape(b, hh, ww, c) + residual
 
 
+class IFTextTimeEmbedding(nn.Module):
+    """diffusers TextTimeEmbedding (addition_embed_type='text'):
+    LN -> AttentionPooling (mean class token + positional embedding, scaled
+    q/k per 1/sqrt(sqrt(d))) -> proj -> LN.  Added to the time embedding."""
+    embed_dim: int                 # encoder_hid_dim
+    time_embed_dim: int
+    num_heads: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, text_embeds):
+        x = nn.LayerNorm(dtype=self.dtype, name='norm1')(
+            text_embeds.astype(self.dtype))
+        d = self.embed_dim
+        pos = self.param('pool_positional_embedding',
+                         nn.initializers.normal(d ** -0.5), (1, d))
+        class_token = x.mean(axis=1, keepdims=True) + pos[None].astype(x.dtype)
+        xc = jnp.concatenate([class_token, x], axis=1)
+        q = nn.Dense(d, dtype=self.dtype, name='pool_q_proj')(class_token)
+        k = nn.Dense(d, dtype=self.dtype, name='pool_k_proj')(xc)
+        v = nn.Dense(d, dtype=self.dtype, name='pool_v_proj')(xc)
+        head_dim = d // self.num_heads
+        scale = 1.0 / (head_dim ** 0.25)          # applied to q AND k
+        qh = split_heads(q, self.num_heads) * scale
+        kh = split_heads(k, self.num_heads) * scale
+        vh = split_heads(v, self.num_heads)
+        w = jnp.einsum('bhqd,bhkd->bhqk', qh, kh,
+                       preferred_element_type=jnp.float32)
+        w = jax.nn.softmax(w, axis=-1).astype(v.dtype)
+        a = jnp.einsum('bhqk,bhkd->bhqd', w, vh,
+                       preferred_element_type=jnp.float32).astype(v.dtype)
+        pooled = merge_heads(a)[:, 0]
+        out = nn.Dense(self.time_embed_dim, dtype=self.dtype, name='proj')(pooled)
+        return nn.LayerNorm(dtype=self.dtype, name='norm2')(out)
+
+
 class IFUNet(nn.Module):
     """__call__(sample NCHW pixels, timestep, encoder_hidden_states (T5),
     added_cond=None, ...) -> (B, out_channels, H, W) prediction
@@ -186,8 +227,15 @@ class IFUNet(nn.Module):
         ts = jnp.broadcast_to(
             jnp.asarray(timestep, jnp.float32).reshape(-1), (bsz,))
         t_emb = timestep_embedding(ts, cfg.block_out_channels[0]).astype(self.dtype)
-        temb = TimestepEmbedding(cfg.time_embed_dim, dtype=self.dtype,
-                                 name='time_embedding')(t_emb)
+        temb = TimestepEmbedding(cfg.time_embed_dim, act_fn=cfg.act_fn,
+                                 dtype=self.dtype, name='time_embedding')(t_emb)
+        if cfg.addition_embed_type == 'text':
+            temb = temb + IFTextTimeEmbedding(
+                embed_dim=cfg.encoder_hid_dim,
+                time_embed_dim=cfg.time_embed_dim,
+                num_heads=cfg.addition_embed_type_num_heads,
+                dtype=self.dtype, name='add_embedding')(
+                encoder_hidden_states)
 
         # T5 width -> cross_attention_dim
         ctx = nn.Dense(cfg.cross_attention_dim, dtype=self.dtype,
@@ -235,7 +283,6 @@ class IFUNet(nn.Module):
         if down_block_additional_residuals is not None:
             skips = [s + r.astype(s.dtype)
                      for s, r in zip(skips, down_block_additional_residuals)]
-            x = skips[-1]
 
         # mid: UNetMidBlock2DSimpleCrossAttn = resnet, attn, resnet
         x = resnet('mid-repeat0-res', ch, ch, name='mid_block_resnets_0')(x, temb)
