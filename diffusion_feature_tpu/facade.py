@@ -955,8 +955,9 @@ class FeatureExtractor:
             rng, r0 = jax.random.split(rng)
             latents = jax.random.normal(
                 r0, (bsz, lat_ch, lat, lat), self.dtype)
-            latents = latents * jnp.asarray(sched.init_noise_sigma,
-                                            self.dtype)
+            latents = latents * jnp.asarray(
+                getattr(state0, 'init_noise_sigma', None)
+                or sched.init_noise_sigma, self.dtype)
             ctx = jnp.concatenate([ne, pe]) if do_cfg else pe
             added = added_cond(pooled, neg_pooled, bsz)
 

@@ -67,6 +67,7 @@ class SchedulerState:
     num_inference_steps: int
     timesteps: np.ndarray            # descending
     sigmas: Optional[np.ndarray] = None  # Euler-family
+    init_noise_sigma: float = 1.0    # inference-schedule dependent (Euler)
     # PLMS / multistep solver history (jnp, carried functionally)
     ets: tuple = ()
     counter: int = 0
@@ -317,7 +318,13 @@ class EulerDiscreteScheduler(DiffusionScheduler):
             raise ValueError(self.config.timestep_spacing)
         sigmas = np.interp(timesteps, np.arange(n), self._train_sigmas)
         sigmas = np.concatenate([sigmas, [0.0]]).astype(np.float32)
-        return SchedulerState(num_inference_steps, timesteps, sigmas=sigmas)
+        # diffusers: init scale from the INFERENCE schedule's max sigma;
+        # plain max for linspace/trailing spacing, sqrt(max^2+1) otherwise
+        smax = float(sigmas.max())
+        init = (smax if self.config.timestep_spacing in ('linspace', 'trailing')
+                else float(np.sqrt(smax ** 2 + 1)))
+        return SchedulerState(num_inference_steps, timesteps, sigmas=sigmas,
+                              init_noise_sigma=init)
 
     def _sigma_index(self, state: SchedulerState, timestep) -> int:
         idx = np.nonzero(np.isclose(state.timesteps, float(timestep)))[0]

@@ -34,7 +34,8 @@ SPAIR_PROMPT = (
 
 class AggregationNetwork:
     def __init__(self, configs: List[dict], weights=None, output_size=(128, 128),
-                 prompt: str = SPAIR_PROMPT, seed: int = 0):
+                 prompt: str = SPAIR_PROMPT, algorithm: str = 'conv',
+                 seed: int = 0):
         self.output_size = tuple(output_size)
         from ...configs import resolve_layer_config
         self.extractors = []
@@ -55,21 +56,23 @@ class AggregationNetwork:
             fe.offload_prompt_encoder(persistent=True)
 
         self.feature_dim = sum(c['feature_len'] for c in configs)
+        # reference: conv keeps the dim for one extractor, halves it for
+        # ensembles (:20-22); applied when algorithm='conv' (task-corres)
         self.out_dim = (self.feature_dim if len(configs) == 1
                         else self.feature_dim // 2)
-        self.do_conv = len(configs) > 1
+        self.do_conv = algorithm == 'conv'
         self._seed = seed
 
     # ------------------------------------------------------------ parameters
+    # CLIP temperature log(1/0.07): a plain tensor in the reference (:25),
+    # NOT a registered parameter — the optimizer never updates it
+    logit_scale = float(np.log(1 / 0.07))
+
     def init_params(self, rng=None):
         rng = rng if rng is not None else jax.random.PRNGKey(self._seed)
         k = jax.nn.initializers.he_normal()(
             rng, (3, 3, self.feature_dim, self.out_dim), jnp.float32)
-        return {
-            'out_kernel': k,
-            # CLIP init: log(1/0.07) (reference :25)
-            'logit_scale': jnp.asarray(np.log(1 / 0.07), jnp.float32),
-        }
+        return {'out_kernel': k}
 
     # ------------------------------------------------------------ extraction
     def extract(self, image) -> jnp.ndarray:

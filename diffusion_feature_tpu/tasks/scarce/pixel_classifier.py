@@ -150,7 +150,9 @@ def compute_iou(preds: List[np.ndarray], gts: List[np.ndarray],
             pi, gi = p == c, g == c
             inter[c] += np.logical_and(pi, gi).sum()
             union[c] += np.logical_or(pi, gi).sum()
+    # reference semantics: absent classes score IoU 0 and the mean runs
+    # over ALL classes (task-pixel compute_iou: inter/(1e-8+union))
+    ious = inter / (1e-8 + union)
     present = union > 0
-    ious = np.where(present, inter / np.maximum(union, 1), np.nan)
-    miou = float(np.nanmean(ious[present])) if present.any() else 0.0
+    miou = float(ious.mean())
     return {c: float(ious[c]) for c in range(num_classes) if present[c]}, miou

@@ -114,8 +114,10 @@ class UPerHead(nn.Module):
         out = ConvModule(self.channels, 3, name='fpn_bottleneck')(
             jnp.concatenate(fpn_outs, axis=-1), train)
         if train and self.dropout_ratio > 0 and dropout_rng is not None:
-            keep = jax.random.bernoulli(dropout_rng, 1 - self.dropout_ratio,
-                                        out.shape[:1] + (1, 1, 1))
+            # mmseg uses Dropout2d: whole CHANNELS drop per sample
+            keep = jax.random.bernoulli(
+                dropout_rng, 1 - self.dropout_ratio,
+                (out.shape[0], 1, 1, out.shape[-1]))
             out = out * keep / (1 - self.dropout_ratio)
         logits = nn.Conv(self.num_classes, (1, 1), name='conv_seg')(out)
         return logits.transpose(0, 3, 1, 2)
@@ -134,8 +136,9 @@ class FCNHead(nn.Module):
         for i in range(self.num_convs):
             h = ConvModule(self.channels, 3, name=f'conv_{i}')(h, train)
         if train and self.dropout_ratio > 0 and dropout_rng is not None:
-            keep = jax.random.bernoulli(dropout_rng, 1 - self.dropout_ratio,
-                                        h.shape[:1] + (1, 1, 1))
+            keep = jax.random.bernoulli(
+                dropout_rng, 1 - self.dropout_ratio,
+                (h.shape[0], 1, 1, h.shape[-1]))   # Dropout2d semantics
             h = h * keep / (1 - self.dropout_ratio)
         logits = nn.Conv(self.num_classes, (1, 1), name='conv_seg')(h)
         return logits.transpose(0, 3, 1, 2)

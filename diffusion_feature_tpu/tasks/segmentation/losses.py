@@ -25,7 +25,9 @@ def cross_entropy_loss(logits: jnp.ndarray, labels: jnp.ndarray,
     valid = lb != ignore_index
     lb_safe = jnp.where(valid, lb, 0)
     ce = optax.softmax_cross_entropy_with_integer_labels(lg, lb_safe)
-    return jnp.sum(ce * valid) / jnp.maximum(jnp.sum(valid), 1)
+    # mmseg CrossEntropyLoss default avg_non_ignore=False: the summed loss
+    # divides by ALL pixels, ignored ones included
+    return jnp.sum(ce * valid) / lb.size
 
 
 def _lovasz_grad(gt_sorted: jnp.ndarray) -> jnp.ndarray:
@@ -40,33 +42,31 @@ def _lovasz_grad(gt_sorted: jnp.ndarray) -> jnp.ndarray:
 
 def lovasz_softmax_loss(logits: jnp.ndarray, labels: jnp.ndarray,
                         ignore_index: int = IGNORE_INDEX) -> jnp.ndarray:
-    """Per-image Lovasz-softmax over present classes, averaged over batch.
+    """Batch-flattened Lovasz-softmax over present classes (mmseg's
+    LovaszLoss default per_image=False: one Jaccard extension over all
+    B*H*W pixels jointly).
 
     Static-shape formulation for XLA: ignored pixels get zero error and are
     sorted to the tail; class presence masks the per-class mean.
     """
     b, c, h, w = logits.shape
-    probs = jax.nn.softmax(logits.transpose(0, 2, 3, 1).reshape(b, -1, c),
-                           axis=-1)
-    lb = labels.reshape(b, -1)
+    probs = jax.nn.softmax(
+        logits.transpose(0, 2, 3, 1).reshape(-1, c).astype(jnp.float32),
+        axis=-1)
+    lb = labels.reshape(-1)
     valid = (lb != ignore_index)
     lb_safe = jnp.where(valid, lb, 0)
 
-    def per_image(p, y, v):
-        def per_class(cls):
-            fg = ((y == cls) & v).astype(jnp.float32)
-            present = fg.sum() > 0
-            errors = jnp.abs(fg - p[:, cls]) * v.astype(jnp.float32)
-            order = jnp.argsort(-errors)
-            errors_sorted = errors[order]
-            fg_sorted = fg[order]
-            loss_c = jnp.sum(errors_sorted * _lovasz_grad(fg_sorted))
-            return jnp.where(present, loss_c, 0.0), present
+    def per_class(cls):
+        fg = ((lb_safe == cls) & valid).astype(jnp.float32)
+        present = fg.sum() > 0
+        errors = jnp.abs(fg - probs[:, cls]) * valid.astype(jnp.float32)
+        order = jnp.argsort(-errors)
+        loss_c = jnp.sum(errors[order] * _lovasz_grad(fg[order]))
+        return jnp.where(present, loss_c, 0.0), present
 
-        losses, present = jax.vmap(per_class)(jnp.arange(c))
-        return jnp.sum(losses) / jnp.maximum(jnp.sum(present), 1)
-
-    return jax.vmap(per_image)(probs, lb_safe, valid).mean()
+    losses, present = jax.vmap(per_class)(jnp.arange(c))
+    return jnp.sum(losses) / jnp.maximum(jnp.sum(present), 1)
 
 
 def segmentation_loss(decode_logits, aux_logits, labels,

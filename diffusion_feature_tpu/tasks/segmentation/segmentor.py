@@ -64,15 +64,25 @@ class SegHead(nn.Module):
             for level, res_level in enumerate(fl):
                 if not res_level:
                     continue
+                # multi-model mode uses MultiRes: the SAME (weight-shared)
+                # ResBlock applied 4x per layer and 2x per sum block
+                # (reference diffusion_segmentor.py:177-180, MultiRes :43-51)
+                n_layer_apps = 1 if n_models == 1 else 4
+                n_sum_apps = 1 if n_models == 1 else 2
                 per = []
                 for lid, ch in res_level:
                     key = lid if n_models == 1 else f'm{mi}:{lid}'
                     f = features[key].astype(jnp.float32)
-                    per.append(ResBlockAdapter(
-                        ch, name=f'adapter{suffix}_{_san(lid)}')(f, train))
+                    blk = ResBlockAdapter(
+                        ch, name=f'adapter{suffix}_{_san(lid)}')
+                    for _ in range(n_layer_apps):
+                        f = blk(f, train)
+                    per.append(f)
                 x = jnp.concatenate(per, axis=1)
-                x = ResBlockAdapter(x.shape[1],
-                                    name=f'sum{level}{suffix}')(x, train)
+                sum_blk = ResBlockAdapter(x.shape[1],
+                                          name=f'sum{level}{suffix}')
+                for _ in range(n_sum_apps):
+                    x = sum_blk(x, train)
                 per_level[level].append(x)
 
         outs = []
@@ -108,8 +118,9 @@ class DiffusionSegmentor:
 
     def __init__(self, diffusion_feature, feature_layers,
                  num_classes: int = 150, head_channels: int = 512,
-                 pool_scales=(1, 2), prompt: str = '',
-                 prompt_tuning: bool = False, weights=None, seed: int = 0):
+                 pool_scales=(1, 2), aux_in_index: Optional[int] = None,
+                 prompt: str = '', prompt_tuning: bool = False, weights=None,
+                 seed: int = 0):
         self.multi = isinstance(diffusion_feature, (list, tuple))
         df_list = (list(diffusion_feature) if self.multi
                    else [diffusion_feature])
@@ -131,7 +142,9 @@ class DiffusionSegmentor:
                 img_size=df['img_size'],
                 train_unet=df.get('train_unet', False),
                 dtype=df.get('dtype',
-                             'float32' if prompt_tuning else 'bfloat16'),
+                             'float32' if (prompt_tuning
+                                           or df.get('train_unet', False))
+                             else 'bfloat16'),
                 control=control[0] if control else None,
                 offline_lora=df.get('offline_lora'),
                 weights=weights,
@@ -157,10 +170,15 @@ class DiffusionSegmentor:
             raise NotImplementedError('prompt tuning with the multi-model '
                                       'ensemble is not supported (nor used '
                                       'by the reference configs)')
+        n_levels = max(len(fl) for fl in self.model_feature_layers)
+        if aux_in_index is None:
+            # reference configs pin the aux head to level 1 (ade_sdxl.py:38)
+            aux_in_index = min(1, n_levels - 1)
         self.head = SegHead(model_feature_layers=self.model_feature_layers,
                             num_classes=num_classes,
                             head_channels=head_channels,
-                            pool_scales=tuple(pool_scales))
+                            pool_scales=tuple(pool_scales),
+                            aux_in_index=aux_in_index)
         self._seed = seed
         self._rng = random.Random(seed)
 
@@ -172,12 +190,15 @@ class DiffusionSegmentor:
         variables = self.head.init(rng, feats, train=False)
         params = {'head': variables['params']}
         if self.prompt_tuning:
-            # trainable prompt replacements (reference :109-126): the text
-            # embedding and, when present, the pooled embedding
+            # trainable prompt replacements (reference :109-126): randn init
+            # with the encoded embeds' shapes (torch.randn, not a copy)
             pe = list(self.prompt_embeds)
-            params['meta_prompt'] = jnp.asarray(pe[0], jnp.float32)
+            r1, r2 = jax.random.split(jax.random.fold_in(rng, 1))
+            params['meta_prompt'] = jax.random.normal(
+                r1, jnp.shape(pe[0]), jnp.float32)
             if pe[2] is not None:
-                params['meta_pooled'] = jnp.asarray(pe[2], jnp.float32)
+                params['meta_pooled'] = jax.random.normal(
+                    r2, jnp.shape(pe[2]), jnp.float32)
         return params, variables.get('batch_stats', {})
 
     # -------------------------------------------------------------- features

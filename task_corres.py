@@ -41,7 +41,8 @@ def clip_loss(params, net, f_src, f_tgt, source_idx, target_idx):
     (points_to_idxs) so the loss jits cleanly."""
     img1 = net.apply(params, f_src)
     img2 = net.apply(params, f_tgt)
-    scale = jnp.exp(params['logit_scale'])
+    # fixed CLIP temperature (reference keeps it out of the optimizer)
+    scale = jnp.exp(jnp.float32(net.logit_scale))
     source_logits = scale * batch_cosine_sim(img1, img2)
     target_logits = scale * batch_cosine_sim(img2, img1)
     ls = optax.softmax_cross_entropy_with_integer_labels(

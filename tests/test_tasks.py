@@ -76,11 +76,21 @@ class TestAggregationNetwork:
         f = net.extract(make_image(0))
         assert f.shape == (1, 32, 32, 32)
 
-    def test_single_config_skips_conv(self, net):
+    def test_single_config_conv_keeps_dim(self, net):
+        # algorithm='conv' (default): dim -> dim learned conv for one
+        # extractor (reference :20-22)
         params = net.init_params()
         f = net.extract(make_image(0))
         out = net.apply(params, f)
-        assert out is f                               # identity, no conv
+        assert out.shape == f.shape and out is not f
+
+    def test_algorithm_nn_skips_conv(self):
+        cfg = [{'feature_len': 32, 'layer': {'up-level1-repeat0-res-out': True},
+                'version': 'test-sd', 'attention': None, 'img_size': 64,
+                't': 50, 'dtype': 'float32'}]
+        net = AggregationNetwork(cfg, output_size=(32, 32), algorithm='nn')
+        f = net.extract(make_image(0))
+        assert net.apply(net.init_params(), f) is f
 
     def test_clip_loss_trains(self, net):
         import sys
@@ -94,8 +104,9 @@ class TestAggregationNetwork:
         ti = jnp.asarray([6, 101, 600], jnp.int32)
         loss, grads = jax.value_and_grad(clip_loss)(params, net, f1, f2, si, ti)
         assert np.isfinite(float(loss))
-        # logit_scale receives gradient
-        assert abs(float(grads['logit_scale'])) > 0
+        # the aggregation conv receives gradient (the reference's only
+        # trainable module; logit_scale stays fixed)
+        assert float(jnp.abs(grads['out_kernel']).sum()) > 0
 
 
 class TestMultiExtractorConv:
@@ -131,14 +142,18 @@ class TestScarce:
         p = [np.array([[0, 1], [1, 2]])]
         g = [np.array([[0, 1], [2, 2]])]
         ious, miou = compute_iou(p, g, 3)
-        assert ious[0] == 1.0 and ious[1] == 0.5 and ious[2] == 0.5
-        assert abs(miou - 2 / 3) < 1e-9
+        # inter/(1e-8+union) epsilon semantics (reference)
+        assert abs(ious[0] - 1.0) < 1e-6
+        assert abs(ious[1] - 0.5) < 1e-6 and abs(ious[2] - 0.5) < 1e-6
+        assert abs(miou - 2 / 3) < 1e-6
 
     def test_compute_iou_ignore_label(self):
         p = [np.array([0, 1, 2])]
         g = [np.array([0, 255, 2])]
         ious, miou = compute_iou(p, g, 3, ignore_label=255)
-        assert miou == 1.0
+        # class 1 never appears after masking -> IoU 0, averaged over ALL
+        # classes (reference semantics)
+        assert abs(miou - 2 / 3) < 1e-6
 
     def test_shuffle_split(self):
         imgs = [f'i{k}' for k in range(10)]
