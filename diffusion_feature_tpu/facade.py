@@ -308,8 +308,11 @@ class FeatureExtractor:
                 tok_dirs = [c if os.path.isdir(c) else None
                             for c in cand[:len(spec.text_encoders)]]
             self.tokenizers = tuple(
-                load_clip_tokenizer(d, vocab_size=c.vocab_size)
-                for d, c in zip(tok_dirs, spec.text_encoders))
+                # tokenizer_2 (OpenCLIP) pads with id 0 ('!'); the first
+                # tokenizer pads with EOS (transformers CLIPTokenizer)
+                load_clip_tokenizer(d, vocab_size=c.vocab_size,
+                                    pad_with_eos=(i == 0))
+                for i, (d, c) in enumerate(zip(tok_dirs, spec.text_encoders)))
 
             sample = jnp.zeros((1, spec.unet.in_channels, lat, lat), self.dtype)
             ctx = jnp.zeros((1, 77, spec.unet.cross_attention_dim), self.dtype)
@@ -477,8 +480,7 @@ class FeatureExtractor:
     # ----------------------------------------------------------------- images
     def preprocess_image(self, x, is_tensor: bool = False):
         if not is_tensor:
-            return preprocess_pil_batch([x], self.img_size,
-                                        pixel_space=self.spec.is_pixel_space)
+            return preprocess_pil_batch([x], self.img_size)
         return resize_tensor_batch(x, self.img_size)
 
     # ---------------------------------------------------------------- extract
@@ -535,8 +537,7 @@ class FeatureExtractor:
 
         # image preprocessing (host)
         if image_type == 'image':
-            img = preprocess_pil_batch(image, self.img_size,
-                                       pixel_space=spec.is_pixel_space)
+            img = preprocess_pil_batch(image, self.img_size)
         else:
             img = resize_tensor_batch(image, self.img_size)
         img = jnp.asarray(img, self.dtype)

@@ -19,7 +19,7 @@ from typing import Dict, List, Sequence
 
 import numpy as np
 
-from ..ops.resize import interpolate_bilinear_nchw
+from ..ops.resize import interpolate_nearest_nchw
 
 
 def _as_numpy(feat, dtype=np.float16) -> np.ndarray:
@@ -40,8 +40,8 @@ def aggregate_features(features: Dict[str, np.ndarray]) -> np.ndarray:
     size present and concat along channels -> (B, sum(C), h, w)
     (extract_feature.py:113-126).
 
-    torch ``F.interpolate(v, size)`` with an int size resizes *both* spatial
-    dims to ``size``; reproduced here.
+    torch ``F.interpolate(v, size)`` defaults to mode='nearest' and an int
+    size resizes *both* spatial dims; reproduced here.
     """
     sizes = [np.asarray(v).shape[-1] for v in features.values()]
     target = int(np.max(sizes))
@@ -49,7 +49,7 @@ def aggregate_features(features: Dict[str, np.ndarray]) -> np.ndarray:
     for v in features.values():
         arr = np.asarray(v, dtype=np.float32)
         if arr.shape[-2] != target or arr.shape[-1] != target:
-            arr = np.asarray(interpolate_bilinear_nchw(arr, (target, target)))
+            arr = np.asarray(interpolate_nearest_nchw(arr, (target, target)))
         resized.append(arr)
     return np.concatenate(resized, axis=1)
 
@@ -116,7 +116,7 @@ def save_batch(
             else:
                 d = os.path.join(out_dir, layer)
                 path = os.path.join(d, name + '.npy')
-            os.makedirs(d, exist_ok=True)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
             _write(path, feat, writer)
             written.append(path)
     return written

@@ -15,8 +15,7 @@ import numpy as np
 from ..ops.resize import interpolate_bilinear_nchw
 
 
-def preprocess_pil_batch(images: Sequence, img_size: int,
-                         pixel_space: bool = False) -> np.ndarray:
+def preprocess_pil_batch(images: Sequence, img_size: int) -> np.ndarray:
     """PIL images -> (B, 3, H, W) float32 in [-1, 1]."""
     out = []
     for im in images:

@@ -35,24 +35,10 @@ class PrefetchLoader:
     def _load_batch(self, batch_paths: List[str]):
         if self._n_threads == 1 or len(batch_paths) == 1:
             return [self._loader(p) for p in batch_paths]
-        out: List = [None] * len(batch_paths)
-        errs: List = []
-
-        def work(i, p):
-            try:
-                out[i] = self._loader(p)
-            except Exception as e:          # propagate to the consumer
-                errs.append(e)
-
-        threads = [threading.Thread(target=work, args=(i, p))
-                   for i, p in enumerate(batch_paths)]
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
-        if errs:
-            raise errs[0]
-        return out
+        # at most n_threads concurrent decodes (bounds peak memory)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=self._n_threads) as pool:
+            return list(pool.map(self._loader, batch_paths))
 
     def _produce(self):
         try:

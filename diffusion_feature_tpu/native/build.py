@@ -29,11 +29,12 @@ def load_library(name: str) -> Optional[ctypes.CDLL]:
     os.makedirs(_CACHE, exist_ok=True)
     so = os.path.join(_CACHE, f'lib{name}-{digest}.so')
     if not os.path.exists(so):
+        tmp = f'{so}.tmp.{os.getpid()}'   # unique per process: concurrent
         cmd = ['g++', '-O3', '-shared', '-fPIC', '-pthread', '-std=c++17',
-               src, '-o', so + '.tmp']
+               src, '-o', tmp]               # builders cannot corrupt the cache
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-            os.replace(so + '.tmp', so)
+            os.replace(tmp, so)
         except (subprocess.CalledProcessError, FileNotFoundError,
                 subprocess.TimeoutExpired):
             return None

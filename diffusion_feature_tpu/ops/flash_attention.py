@@ -27,6 +27,15 @@ _LANE = 128
 NEG_INF = -1e30
 
 
+def _pick_block(seq: int, preferred: int) -> int:
+    """Largest 256-multiple block <= preferred that divides ``seq``
+    (is_flash_compatible guarantees seq % 256 == 0)."""
+    b = min(preferred, seq)
+    while b > 256 and seq % b != 0:
+        b -= 256
+    return b
+
+
 def _pad_to(x, multiple, axis):
     size = x.shape[axis]
     rem = size % multiple
@@ -168,8 +177,8 @@ def _flash_impl(
     """(B, H, Sq, D) x (B, H, Sk, D) -> (B, H, Sq, D), fp32 accumulation."""
     b, h, sq, d = q.shape
     sk = k.shape[2]
-    block_q = min(block_q, sq)
-    block_k = min(block_k, sk)
+    block_q = _pick_block(sq, block_q)
+    block_k = _pick_block(sk, block_k)
     assert sq % block_q == 0 and sk % block_k == 0, (sq, sk, block_q, block_k)
 
     d_pad = max(_LANE, ((d + _LANE - 1) // _LANE) * _LANE)
@@ -222,8 +231,8 @@ def flash_attention_with_lse(
     """Flash forward returning (out (B,H,Sq,D), lse (B,H,Sq) fp32)."""
     b, h, sq, d = q.shape
     sk = k.shape[2]
-    block_q = min(block_q, sq)
-    block_k = min(block_k, sk)
+    block_q = _pick_block(sq, block_q)
+    block_k = _pick_block(sk, block_k)
     assert sq % block_q == 0 and sk % block_k == 0, (sq, sk, block_q, block_k)
 
     d_pad = max(_LANE, ((d + _LANE - 1) // _LANE) * _LANE)
@@ -294,8 +303,8 @@ def headmean_probs(
     cliff that forces the reference onto 11-GiB caps (SURVEY §5)."""
     b, h, sq, d = q.shape
     sk = k.shape[2]
-    block_q = min(block_q, sq)
-    block_k = min(block_k, sk)
+    block_q = _pick_block(sq, block_q)
+    block_k = _pick_block(sk, block_k)
     assert sq % block_q == 0 and sk % block_k == 0, (sq, sk, block_q, block_k)
 
     d_pad = max(_LANE, ((d + _LANE - 1) // _LANE) * _LANE)

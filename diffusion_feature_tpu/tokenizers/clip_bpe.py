@@ -30,9 +30,29 @@ def _whitespace_clean(text: str) -> str:
 
 
 _PAT = re.compile(
-    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\w]+|[^\s\w]+",
+    # CLIP's pattern: letter runs ([\p{L}]+ ~ [^\W\d_]+), SINGLE digits
+    # ([\p{N}]), punctuation runs; '35mm' -> '3','5','mm' like the reference
+    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+    r"|[^\W\d_]+|\d|[^\s\w]+|_+",
     re.IGNORECASE,
 )
+
+
+@lru_cache()
+def bytes_to_unicode():
+    """GPT-2/CLIP byte<->unicode table: every utf-8 byte maps to a printable
+    unicode char so BPE never meets an unknown symbol (byte fallback)."""
+    bs = (list(range(ord('!'), ord('~') + 1))
+          + list(range(ord('\xa1'), ord('\xac') + 1))
+          + list(range(ord('\xae'), ord('\xff') + 1)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
 
 
 class CLIPTokenizer:
@@ -78,8 +98,12 @@ class CLIPTokenizer:
 
     def encode(self, text: str) -> List[int]:
         text = _whitespace_clean(_basic_clean(text)).lower()
+        byte_enc = bytes_to_unicode()
         ids = []
         for tok in _PAT.findall(text):
+            # byte-encode first (CLIP byte-level BPE): non-ASCII text maps to
+            # vocab symbols instead of being dropped
+            tok = ''.join(byte_enc[b] for b in tok.encode('utf-8'))
             for piece in self._bpe(tok):
                 if piece in self.encoder:
                     ids.append(self.encoder[piece])

@@ -26,12 +26,25 @@ class WordPieceTokenizer:
         self.sep_token_id = self.vocab.get('[SEP]', 102)
         self.unk_token_id = self.vocab.get('[UNK]', 100)
 
+    @staticmethod
+    def _is_cjk(ch: str) -> bool:
+        cp = ord(ch)
+        return (0x4E00 <= cp <= 0x9FFF or 0x3400 <= cp <= 0x4DBF
+                or 0x20000 <= cp <= 0x2A6DF or 0xF900 <= cp <= 0xFAFF)
+
     def _basic_tokens(self, text: str) -> List[str]:
         if self.lowercase:
             text = text.lower()
         out, cur = [], []
         for ch in text:
-            if ch.isalnum():
+            if self._is_cjk(ch):
+                # BERT tokenize_chinese_chars: every CJK char is its own
+                # token (essential for HunyuanDiT's bilingual prompts)
+                if cur:
+                    out.append(''.join(cur))
+                    cur = []
+                out.append(ch)
+            elif ch.isalnum():
                 cur.append(ch)
             else:
                 if cur:

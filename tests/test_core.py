@@ -326,3 +326,15 @@ class TestDiTConfigAdaptation:
         adapted2 = _adapt_spec_to_checkpoint(spec2, str(tmp_path))
         assert adapted2.dit.num_layers == 3
         assert adapted2.dit.inner_dim == 64
+
+
+class TestWordPieceCJK:
+    def test_cjk_chars_tokenize_individually(self, tmp_path):
+        from diffusion_feature_tpu.tokenizers.wordpiece import WordPieceTokenizer
+        vocab = ['[PAD]', '[UNK]', '[CLS]', '[SEP]', '猫', '草', 'cat']
+        vp = tmp_path / 'v.txt'
+        vp.write_text('\n'.join(vocab) + '\n', encoding='utf-8')
+        tok = WordPieceTokenizer(str(vp), model_max_length=10)
+        ids, _ = tok('猫草cat')
+        v = {w: i for i, w in enumerate(vocab)}
+        assert ids[0][:5] == [v['[CLS]'], v['猫'], v['草'], v['cat'], v['[SEP]']]

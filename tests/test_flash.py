@@ -96,3 +96,14 @@ class TestDifferentiability:
 
         g = jax.grad(loss)(q, k, v)
         assert np.isfinite(np.asarray(g)).all()
+
+
+class TestOddSequences:
+    def test_256_aligned_not_512_aligned(self):
+        # SD-2.1@768: 48*48 = 2304 tokens (divisible by 256, not 512)
+        q, k, v = make_qkv(sq=2304, sk=2304, d=32)
+        scale = q.shape[-1] ** -0.5
+        out = flash_attention(q, k, v, scale=scale)
+        ref, _ = attention_with_probs_heads(q, k, v, scale=scale)
+        assert np.allclose(np.asarray(out), np.asarray(ref),
+                           rtol=1e-4, atol=1e-4)
