@@ -256,10 +256,10 @@ class DiffusionSegmentor:
         return feats
 
     # ------------------------------------------------------------------ loss
-    def loss(self, params, batch_stats, images, labels, dropout_rng):
-        """Full training objective at label resolution (mmseg semantics:
-        logits upsampled to the label map before the loss)."""
-        feats = self.extract_features(images, is_test=False, params=params)
+    def head_loss(self, params, batch_stats, feats, labels, dropout_rng):
+        """Trainable-head objective over pre-extracted features — pure and
+        jittable (the trainer compiles this once; the frozen extraction runs
+        in its own cached program)."""
         (decode, aux), updates = self.head.apply(
             {'params': params['head'], 'batch_stats': batch_stats},
             feats, train=True, dropout_rng=dropout_rng,
@@ -272,6 +272,13 @@ class DiffusionSegmentor:
 
         total, parts = segmentation_loss(up(decode), up(aux), labels)
         return total, (parts, updates['batch_stats'])
+
+    def loss(self, params, batch_stats, images, labels, dropout_rng):
+        """Full training objective at label resolution (mmseg semantics:
+        logits upsampled to the label map before the loss).  With prompt
+        tuning, gradients flow through the extraction step."""
+        feats = self.extract_features(images, is_test=False, params=params)
+        return self.head_loss(params, batch_stats, feats, labels, dropout_rng)
 
     # ------------------------------------------------------------- inference
     def predict_logits(self, params, batch_stats, images) -> jnp.ndarray:

@@ -143,6 +143,12 @@ def main(argv=None):
 
     i = 0
     for batch_paths, sublist in loader:
+        n_real = len(sublist)
+        if mesh is not None and n_real % args.dp != 0:
+            # dp sharding needs a divisible batch: pad by repeating the last
+            # image, slice the padding off after extraction
+            pad = args.dp - (n_real % args.dp)
+            sublist = list(sublist) + [sublist[-1]] * pad
         features = df.extract(
             prompts, len(sublist), sublist,
             t=args.t,
@@ -150,12 +156,12 @@ def main(argv=None):
             use_control=args.control is not None,
             use_ddim_inversion=args.use_ddim_inversion,
         )
-        features = {k: np.asarray(v, dtype=np.float32)
-                    for k, v in features.items()}
+        # keep the device dtype; save_batch casts to the dump dtype itself
+        features = {k: np.asarray(v)[:n_real] for k, v in features.items()}
         save_batch(
             features, args.output_dir,
             batch_start_index=i,
-            original_names=names[i:i + len(sublist)],
+            original_names=names[i:i + n_real],
             split=args.split,
             use_original_filename=args.use_original_filename,
             sample_name_first=args.sample_name_first,
@@ -163,7 +169,7 @@ def main(argv=None):
             nested=args.nested_input_dir,
             writer=writer,
         )
-        i += len(sublist)
+        i += n_real
         print(f'{i}/{len(imgs)}')
     writer.close()
 

@@ -26,7 +26,9 @@ def pca_to_rgb(feat: np.ndarray) -> np.ndarray:
     x = x - x.mean(axis=0, keepdims=True)
     # top-3 principal components via SVD
     _, _, vt = np.linalg.svd(x, full_matrices=False)
-    proj = x @ vt[:3].T                                    # (HW, 3)
+    proj = x @ vt[:3].T                                    # (HW, <=3)
+    if proj.shape[1] < 3:                 # 1/2-channel blocks: pad to RGB
+        proj = np.pad(proj, ((0, 0), (0, 3 - proj.shape[1])))
     lo = proj.min(axis=0, keepdims=True)
     hi = proj.max(axis=0, keepdims=True)
     img = (proj - lo) / np.maximum(hi - lo, 1e-8)

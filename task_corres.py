@@ -5,9 +5,10 @@ PCK@0.1 (image- and bbox-relative).
 
 Mirrors the reference's task-corres.py flow: per annotation pair, extract
 frozen diffusion features for both images, compute bidirectional CE between
-annotated source/target point correspondences (:70-80), Adam on the conv +
-logit_scale only, validation every 500 steps (:94-141), checkpoints with
-{step, config, params, opt_state} (:83-91).
+annotated source/target point correspondences (:70-80), AdamW(5e-4, wd 0.01)
+on the aggregation conv (logit_scale stays fixed, reference :25), validation
+every 500 steps (:94-141), checkpoints with {step, config, params,
+opt_state} (:83-91).
 """
 
 import argparse
@@ -56,8 +57,6 @@ def validate(net, params, val_anns, image_path):
     pck_img_all, pck_bbox_all = [], []
     for ann in val_anns:
         sp, tp, src, tgt, _ = load_annotation(ann, LOAD_SIZE, image_path)
-        # reference rescales annotation points to output_size for the loss
-        sp_out = rescale_points(sp, LOAD_SIZE, OUTPUT_SIZE)
         f_src = net.apply(params, net.extract(os.path.join(image_path, src)))
         f_tgt = net.apply(params, net.extract(os.path.join(image_path, tgt)))
         _, pred = find_nn_source_correspondences(f_src, f_tgt, sp,
@@ -94,7 +93,7 @@ def main(argv=None):
     parser.add_argument('--val_anns', type=str, required=True)
     parser.add_argument('--dataset_path', type=str, default='')
     parser.add_argument('--task_path', type=str, default='./corres_out')
-    parser.add_argument('--lr', type=float, default=1e-3)
+    parser.add_argument('--lr', type=float, default=5e-4)
     parser.add_argument('--max_steps', type=int, default=5000)
     parser.add_argument('--val_every', type=int, default=500)
     parser.add_argument('--weights', type=str, default=None)
@@ -118,7 +117,8 @@ def main(argv=None):
 
     net = AggregationNetwork(configs, weights=args.weights, seed=args.seed)
     params = net.init_params()
-    opt = optax.adam(args.lr)
+    # reference task-corres.py optimizer: AdamW(5e-4, weight_decay=0.01)
+    opt = optax.adamw(args.lr, weight_decay=0.01)
     opt_state = opt.init(params)
     start_step = 0
     if args.load_weight:

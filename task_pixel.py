@@ -68,11 +68,19 @@ def main(argv=None):
                                            seed=args.seed)
     print(f'{len(tr_f)} train / {len(te_f)} test images')
 
-    X = np.concatenate([load_feature(f, size) for f in tr_f])
-    y = np.concatenate([load_label(l, size).ravel() for l in tr_l])
-    keep = y != setting['ignore_label']
-    X, y = X[keep], y[keep]
-    print(f'{len(X)} training pixels, dim {X.shape[1]}')
+    # build the pixel matrix lazily: skipped entirely when every ensemble
+    # member checkpoint already exists
+    X = y = None
+
+    def training_matrix():
+        nonlocal X, y
+        if X is None:
+            X = np.concatenate([load_feature(f, size) for f in tr_f])
+            y = np.concatenate([load_label(l, size).ravel() for l in tr_l])
+            keep = y != setting['ignore_label']
+            X, y = X[keep], y[keep]
+            print(f'{len(X)} training pixels, dim {X.shape[1]}')
+        return X, y
 
     # train (skipping already-trained members, reference :173-178)
     ensemble = []
@@ -83,6 +91,7 @@ def main(argv=None):
                 ensemble.append(pickle.load(f))
             print(f'model {i}: loaded existing checkpoint')
             continue
+        X, y = training_matrix()
         from diffusion_feature_tpu.tasks.scarce.pixel_classifier import train_one
         member = train_one(X, y, ncls, seed=args.seed * 1000 + i,
                            batch_size=args.batch_size,

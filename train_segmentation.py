@@ -53,18 +53,47 @@ def list_pairs(img_dir, label_dir):
     return pairs
 
 
+def _photometric(img: np.ndarray, rng: random.Random) -> np.ndarray:
+    """PhotoMetricDistortion essentials (mmseg defaults): random
+    brightness +-32 and contrast 0.5-1.5, each with p=0.5, on uint8."""
+    img = img.astype(np.float32)
+    if rng.random() < 0.5:
+        img = img + rng.uniform(-32, 32)
+    if rng.random() < 0.5:
+        img = img * rng.uniform(0.5, 1.5)
+    return np.clip(img, 0, 255)
+
+
 def load_pair(img_path, label_path, crop, rng: random.Random,
-              train: bool = True):
+              train: bool = True, reduce_zero_label: bool = False):
     from PIL import Image
-    img = Image.open(img_path).convert('RGB')
+    pil = Image.open(img_path).convert('RGB')
     if label_path.endswith('.npy'):
         lab = np.load(label_path)
     else:
         lab = np.asarray(Image.open(label_path))
         if lab.ndim == 3:
             lab = lab[..., 0]
-    img = np.asarray(img)
+    lab = lab.astype(np.int32)
+    if reduce_zero_label:
+        # ADE20K: 0 = unlabeled -> 255; classes 1..N -> 0..N-1
+        lab = np.where(lab == 0, 255, lab - 1)
     ch, cw = crop
+    if train:
+        # RandomResize ratio 0.5-2.0 + RandomFlip 0.5 (reference ADE20K
+        # train pipeline, _base_/datasets/ade20k.py)
+        scale = rng.uniform(0.5, 2.0)
+        nw = max(cw, int(round(pil.width * scale)))
+        nh = max(ch, int(round(pil.height * scale)))
+        pil = pil.resize((nw, nh), Image.BILINEAR)
+        lab = np.asarray(Image.fromarray(lab.astype(np.uint16)).resize(
+            (nw, nh), Image.NEAREST), dtype=np.int32)
+        if rng.random() < 0.5:
+            pil = pil.transpose(Image.FLIP_LEFT_RIGHT)
+            lab = lab[:, ::-1]
+    img = np.asarray(pil)
+    if train:
+        img = _photometric(img, rng)
     H, W = img.shape[:2]
     if H < ch or W < cw:
         pad_h, pad_w = max(0, ch - H), max(0, cw - W)
@@ -80,7 +109,7 @@ def load_pair(img_path, label_path, crop, rng: random.Random,
         lab = lab[y:y + ch, x:x + cw]
     # normalize to [-1, 1] (reference mean/std 127.5)
     img = (img.astype(np.float32) - 127.5) / 127.5
-    return img.transpose(2, 0, 1), lab.astype(np.int32)
+    return np.ascontiguousarray(img.transpose(2, 0, 1)), lab.astype(np.int32)
 
 
 def main(argv=None):
@@ -107,6 +136,10 @@ def main(argv=None):
     parser.add_argument('--eval_only', action='store_true',
                         help='skip training: evaluate --resume checkpoint '
                              'on the val set (mmseg test.py role)')
+    parser.add_argument('--reduce_zero_label', action='store_true',
+                        help='ADE20K-style labels: 0=background becomes '
+                             'ignore (255), classes shift down by one '
+                             "(reference _base_/datasets/ade20k.py)")
     args = parser.parse_args(argv)
 
     os.makedirs(args.work_dir, exist_ok=True)
@@ -149,11 +182,14 @@ def main(argv=None):
 
     if args.eval_only:
         assert val_pairs, 'eval_only needs --val_img_dir/--val_label_dir'
+        assert args.resume, ('--eval_only without --resume would score '
+                             'randomly initialized weights')
         rng0 = random.Random(args.seed)
         crop0 = (args.crop_size, args.crop_size)
         preds, gts = [], []
         for ip, lp in val_pairs:
-            img, lab = load_pair(ip, lp, crop0, rng0, train=False)
+            img, lab = load_pair(ip, lp, crop0, rng0, train=False,
+                                 reduce_zero_label=args.reduce_zero_label)
             pred = seg.predict(params, batch_stats,
                                jnp.asarray(img)[None], mode='slide',
                                crop_size=crop0, stride=crop0)
@@ -165,12 +201,37 @@ def main(argv=None):
         return
     assert train_pairs, 'no training pairs found'
 
-    def loss_fn(params, batch_stats, images, labels, rng):
-        total, (parts, new_bs) = seg.loss(params, batch_stats, images,
-                                          labels, rng)
-        return total, (parts, new_bs)
+    if seg.prompt_tuning:
+        # gradients flow through the extraction step: eager composition of
+        # the facade's jitted program + head (jitting the grad would retrace
+        # the extractor)
+        def train_step(params, batch_stats, opt_state, images, labels, dk):
+            def lf(p, bs):
+                return seg.loss(p, bs, images, labels, dk)
+            (loss, (parts, new_bs)), grads = jax.value_and_grad(
+                lf, has_aux=True)(params, batch_stats)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, new_bs, opt_state, loss, parts
+    else:
+        # frozen extractor: features come from the facade's cached program;
+        # the head fwd/bwd + AdamW compile into ONE jitted step (eager
+        # per-op dispatch costs ~25-30 ms each over the axon tunnel)
+        @jax.jit
+        def _head_step(params, batch_stats, opt_state, feats, labels, dk):
+            def lf(p, bs):
+                return seg.head_loss(p, bs, feats, labels, dk)
+            (loss, (parts, new_bs)), grads = jax.value_and_grad(
+                lf, has_aux=True)(params, batch_stats)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, new_bs, opt_state, loss, parts
 
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        def train_step(params, batch_stats, opt_state, images, labels, dk):
+            feats = seg.extract_features(images, is_test=False)
+            return _head_step(params, batch_stats, opt_state, feats,
+                              labels, dk)
+
     rng = random.Random(args.seed)
     key = jax.random.PRNGKey(args.seed)
     crop = (args.crop_size, args.crop_size)
@@ -188,17 +249,17 @@ def main(argv=None):
 
     for it in range(start, args.max_iters):
         batch = [load_pair(*train_pairs[rng.randrange(len(train_pairs))],
-                           crop, rng) for _ in range(args.batch_size)]
+                           crop, rng,
+                           reduce_zero_label=args.reduce_zero_label)
+                 for _ in range(args.batch_size)]
         images = jnp.asarray(np.stack([b[0] for b in batch]))
         labels = jnp.asarray(np.stack([b[1] for b in batch]))
         if batch_sh is not None:
             images = jax.device_put(images, batch_sh)
             labels = jax.device_put(labels, batch_sh)
         key, dk = jax.random.split(key)
-        (loss, (parts, batch_stats)), grads = grad_fn(
-            params, batch_stats, images, labels, dk)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        params, batch_stats, opt_state, loss, parts = train_step(
+            params, batch_stats, opt_state, images, labels, dk)
         if it % 50 == 0:
             p = {k: round(float(v), 4) for k, v in parts.items()}
             print(f'iter {it}: loss {float(loss):.4f} {p}')
@@ -206,7 +267,9 @@ def main(argv=None):
             if val_pairs:
                 preds, gts = [], []
                 for ip, lp in val_pairs:
-                    img, lab = load_pair(ip, lp, crop, rng, train=False)
+                    img, lab = load_pair(
+                        ip, lp, crop, rng, train=False,
+                        reduce_zero_label=args.reduce_zero_label)
                     pred = seg.predict(params, batch_stats,
                                        jnp.asarray(img)[None], mode='slide',
                                        crop_size=crop, stride=crop)
