@@ -435,8 +435,11 @@ class FeatureExtractor:
         return pe, None, pooled, None
 
     def _encode_hunyuan(self, text: str):
-        """Returns (bert_embeds, bert_mask, t5_embeds, t5_mask) — the dual
-        conditioning the HunyuanDiT pipeline feeds the transformer."""
+        """Returns two nested pairs ``((bert_embeds, bert_mask),
+        (t5_embeds, t5_mask))`` — the dual conditioning the HunyuanDiT
+        pipeline feeds the transformer.  NOTE: this deliberately diverges
+        from the other families' flat 4-tuple encode contract because the
+        two streams travel together through ``_extract_hunyuan``."""
         bert_tok, t5_tok = self.tokenizers
         ids, mask = bert_tok([text])
         ids = jnp.asarray(ids, jnp.int32)
@@ -750,6 +753,10 @@ class FeatureExtractor:
         if denoising_from is None:
             timesteps, _ = sched.get_timesteps(state, 1000, t / 1000)
             latent_t = timesteps[0]
+            # reference sets t = timesteps[:1] (diffusion_feature.py:295): the
+            # denoiser forward must run at the scheduler-mapped timestep, not
+            # the caller's raw t (they differ for spacing/offset edge cases)
+            t = float(latent_t)
             denoise_ts = []
         else:
             # multi-step denoising_from path (diffusion_feature.py:296-320)
@@ -863,25 +870,66 @@ class FeatureExtractor:
 
     def _jit_sharded(self, step):
         """jit the extraction step; with a mesh, shard the image batch over
-        'dp' (params/prompts replicated) so multi-chip extraction scales
-        without code changes — the TPU-native replacement for the
-        reference's thread-per-GPU placement (SURVEY §2.12/§5.8)."""
+        'dp' and (optionally) the denoiser weights over 'tp' so multi-chip
+        extraction scales without code changes — the TPU-native replacement
+        for the reference's thread-per-GPU placement (SURVEY §2.12/§5.8).
+
+        Param placement is done ONCE and cached on the instance: the jitted
+        program doesn't need a fresh host round-trip per call once params are
+        resident (a second ``extract()`` issues no param transfers).  The
+        cache is invalidated when any leaf of ``self.params`` is replaced
+        (LoRA merge, offload, train step) or the mesh changes.
+        """
         if self.mesh is None:
             return jax.jit(step)
         from jax.sharding import NamedSharding, PartitionSpec as P
         batch_sh = NamedSharding(self.mesh, P('dp'))
         repl = NamedSharding(self.mesh, P())
+        param_shardings = self._param_shardings(repl)
 
         jitted = jax.jit(step)
 
+        def place(params):
+            key = (id(self.mesh),
+                   tuple(id(l) for l in jax.tree.leaves(params)))
+            cached = getattr(self, '_placed_params', None)
+            if cached is not None and cached[0] == key:
+                return cached[1]
+            placed = jax.tree.map(
+                lambda x, sh: jax.device_put(x, sh)
+                if getattr(x, 'ndim', None) is not None else x,
+                params, param_shardings(params))
+            self._placed_params = (key, placed)
+            return placed
+
         def wrapped(params, img, *rest):
             img = jax.device_put(img, batch_sh)
-            params = jax.tree.map(
-                lambda x: jax.device_put(x, repl)
-                if getattr(x, 'ndim', None) is not None else x, params)
-            return jitted(params, img, *rest)
+            return jitted(place(params), img, *rest)
 
         return wrapped
+
+    def _param_shardings(self, repl):
+        """Return a fn mapping a param tree -> same-structure tree of
+        NamedShardings: replicated everywhere, except the denoiser weights
+        follow the tensor-parallel rules when the mesh has a 'tp' axis >1
+        (VERDICT round-1 item 4: tp reachable from the facade)."""
+        use_tp = (self.mesh is not None and 'tp' in self.mesh.axis_names
+                  and self.mesh.shape['tp'] > 1)
+        if not use_tp:
+            return lambda params: jax.tree.map(lambda _: repl, params)
+        from .parallel.mesh import denoiser_param_shardings
+
+        def shardings(params):
+            out = {}
+            for k, v in params.items():
+                if k == 'unet':
+                    out[k] = denoiser_param_shardings(
+                        self.mesh, v, family=self.spec.family)
+                else:
+                    out[k] = jax.tree.map(lambda _: repl, v)
+            return out
+
+        return shardings
 
     # --------------------------------------------------------------- sampling
     def sample(self, prompts, batch_size: int = 1,

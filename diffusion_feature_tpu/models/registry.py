@@ -36,9 +36,12 @@ SD_SCHED = SchedulerConfig(beta_start=0.00085, beta_end=0.012,
 XL_SCHED = dataclasses.replace(SD_SCHED, timestep_spacing='leading')
 PIXART_SCHED = SchedulerConfig(beta_start=0.0001, beta_end=0.02,
                                beta_schedule='linear')
+# DeepFloyd IF-I-L scheduler_config.json: dynamic_thresholding_ratio=0.95,
+# sample_max_value=1.5 (not the diffusers defaults 0.995/1.0)
 IF_SCHED = SchedulerConfig(beta_schedule='squaredcos_cap_v2', beta_start=0.0001,
                            beta_end=0.02, variance_type='learned_range',
-                           thresholding=True)
+                           thresholding=True, dynamic_thresholding_ratio=0.95,
+                           sample_max_value=1.5)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -29,6 +29,10 @@ class VAEConfig:
     norm_eps: float = 1e-6
     scaling_factor: float = 0.18215
     shift_factor: float = 0.0           # Flux: 0.1159
+    # SD/SDXL AutoencoderKL applies 1x1 quant/post-quant convs around the
+    # latent bottleneck (diffusers default use_quant_conv=True); Flux's VAE
+    # config disables both.
+    use_quant_conv: bool = True
 
 
 def _vae_from_diffusers_config(d: dict) -> 'VAEConfig':
@@ -41,6 +45,7 @@ def _vae_from_diffusers_config(d: dict) -> 'VAEConfig':
         layers_per_block=d.get('layers_per_block', 2),
         scaling_factor=d.get('scaling_factor', 0.18215),
         shift_factor=d.get('shift_factor') or 0.0,
+        use_quant_conv=d.get('use_quant_conv', True),
     )
 
 
@@ -48,7 +53,8 @@ VAEConfig.from_diffusers_config = staticmethod(_vae_from_diffusers_config)
 
 SD_VAE = VAEConfig()
 SDXL_VAE = VAEConfig(scaling_factor=0.13025)
-FLUX_VAE = VAEConfig(latent_channels=16, scaling_factor=0.3611, shift_factor=0.1159)
+FLUX_VAE = VAEConfig(latent_channels=16, scaling_factor=0.3611,
+                     shift_factor=0.1159, use_quant_conv=False)
 
 
 def tiny_vae_config(latent_channels: int = 4) -> VAEConfig:
@@ -188,14 +194,25 @@ class AutoencoderKL(nn.Module):
     def setup(self):
         self.encoder = Encoder(self.cfg, dtype=self.dtype)
         self.decoder = Decoder(self.cfg, dtype=self.dtype)
+        if self.cfg.use_quant_conv:
+            # diffusers AutoencoderKL: 1x1 convs around the bottleneck
+            # (encode: quant_conv(moments); decode: post_quant_conv(z))
+            self.quant_conv = nn.Conv(
+                self.cfg.latent_channels * 2, (1, 1), dtype=self.dtype)
+            self.post_quant_conv = nn.Conv(
+                self.cfg.latent_channels, (1, 1), dtype=self.dtype)
 
     def encode_moments(self, images):
         x = jnp.transpose(images, (0, 2, 3, 1)).astype(self.dtype)
         moments = self.encoder(x)
+        if self.cfg.use_quant_conv:
+            moments = self.quant_conv(moments)
         return jnp.transpose(moments, (0, 3, 1, 2))
 
     def decode(self, latents):
         z = jnp.transpose(latents, (0, 2, 3, 1)).astype(self.dtype)
+        if self.cfg.use_quant_conv:
+            z = self.post_quant_conv(z)
         img = self.decoder(z)
         return jnp.transpose(img, (0, 3, 1, 2))
 

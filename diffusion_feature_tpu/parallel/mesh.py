@@ -79,6 +79,16 @@ def unet_param_shardings(mesh: Mesh, params):
     return traverse_util.unflatten_dict(out)
 
 
+def denoiser_param_shardings(mesh: Mesh, params, family: str = 'unet'):
+    """NamedSharding pytree for any denoiser family's params (facade entry
+    point for tp extraction).  The projection-name rules in ``_param_pspec``
+    already cover U-Net (to_q/to_out_0/net_2), DiT and Flux/MMDiT
+    (add_*_proj, proj_mlp, to_add_out) naming, so all families route through
+    the same table; ``family`` is kept for future family-specific rules."""
+    del family
+    return unet_param_shardings(mesh, params)
+
+
 def shard_params(mesh: Mesh, params, tensor_parallel: bool = False):
     """Place params on the mesh: replicated, or tp-sharded where profitable."""
     if tensor_parallel:

@@ -50,6 +50,8 @@ class SchedulerConfig:
     skip_prk_steps: bool = True  # PNDM (SD config)
     clip_sample: bool = False
     thresholding: bool = False
+    dynamic_thresholding_ratio: float = 0.995
+    sample_max_value: float = 1.0
     variance_type: str = 'fixed_small'  # DDPM
     solver_order: int = 2  # DPM-Solver
 
@@ -167,10 +169,14 @@ class DDPMScheduler(DiffusionScheduler):
     (Imagen's per-sample 99.5%-quantile clamp of x0)."""
 
     def _threshold(self, x0):
+        """Imagen dynamic thresholding: s = clip(quantile(|x0|, ratio), 1,
+        sample_max_value); IF's checkpoint config uses ratio=0.95,
+        sample_max_value=1.5 (diffusers DDPMScheduler._threshold_sample)."""
         b = x0.shape[0]
         flat = jnp.abs(x0.astype(jnp.float32)).reshape(b, -1)
-        s = jnp.quantile(flat, 0.995, axis=1)
-        s = jnp.clip(s, 1.0, None).reshape((b,) + (1,) * (x0.ndim - 1))
+        s = jnp.quantile(flat, self.config.dynamic_thresholding_ratio, axis=1)
+        s = jnp.clip(s, 1.0, self.config.sample_max_value)
+        s = s.reshape((b,) + (1,) * (x0.ndim - 1))
         return (jnp.clip(x0.astype(jnp.float32), -s, s) / s).astype(x0.dtype)
 
     def step(self, state: SchedulerState, model_output, timestep, sample,

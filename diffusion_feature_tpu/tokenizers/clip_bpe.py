@@ -31,9 +31,11 @@ def _whitespace_clean(text: str) -> str:
 
 _PAT = re.compile(
     # CLIP's pattern: letter runs ([\p{L}]+ ~ [^\W\d_]+), SINGLE digits
-    # ([\p{N}]), punctuation runs; '35mm' -> '3','5','mm' like the reference
+    # ([\p{N}]), punctuation runs; '35mm' -> '3','5','mm' like the reference.
+    # CLIP's [^\s\p{L}\p{N}]+ treats '_' as part of a punctuation RUN
+    # ('!_!' is ONE token), hence (?:[^\s\w]|_)+ rather than separate branches.
     r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
-    r"|[^\W\d_]+|\d|[^\s\w]+|_+",
+    r"|[^\W\d_]+|\d|(?:[^\s\w]|_)+",
     re.IGNORECASE,
 )
 

@@ -60,6 +60,11 @@ def build_parser():
                         help='local diffusers checkpoint dir')
     parser.add_argument('--dp', type=int, default=1,
                         help='shard the batch over a dp device mesh')
+    parser.add_argument('--tp', type=int, default=1,
+                        help='tensor-parallel shard the denoiser weights '
+                             '(qkv/ffn column, out-proj row) over tp devices; '
+                             'needed when the model exceeds one chip\'s HBM '
+                             '(e.g. Flux-12B bf16 on v5e)')
     # debug
     parser.add_argument('--show_all_layers', action='store_true')
     return parser
@@ -85,10 +90,11 @@ def main(argv=None):
         return
 
     mesh = None
-    if args.dp > 1:
+    if args.dp > 1 or args.tp > 1:
         import jax
         from diffusion_feature_tpu.parallel.mesh import make_mesh
-        mesh = make_mesh(dp=args.dp, tp=1, devices=jax.devices()[:args.dp])
+        n = args.dp * args.tp
+        mesh = make_mesh(dp=args.dp, tp=args.tp, devices=jax.devices()[:n])
 
     df = FeatureExtractor(
         resolve_layer_config(args.layer),

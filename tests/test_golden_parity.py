@@ -1,0 +1,486 @@
+"""Cross-framework golden numerical parity: our Flax/JAX blocks vs test-local
+torch transcriptions of the reference's diffusers-0.32.2 math (torch_ref.py).
+
+This is the oracle VERDICT round-1 called the single biggest fidelity risk:
+fixed random torch weights are mapped through ``models/convert.py`` (the same
+code path real checkpoints use) onto our modules, and outputs AND tap values
+are compared at fp32.  A weight-conversion transpose, a GroupNorm epsilon, or
+a tap placed on the wrong intermediate all fire here.
+
+Reference math provenance (per block):
+  ResnetBlock2D            feature/diffusers/models/resnet.py:320-380
+  BasicTransformerBlock    feature/diffusers/models/attention.py:589-590
+  FeedForward (GEGLU)      feature/diffusers/models/attention.py:1253-1257
+  Attention q/k/v/map      feature/diffusers/models/attention_processor.py:1128,3291
+                           + feature/components/attention.py:223-247
+  Transformer2DModel       feature/diffusers/models/transformers/transformer_2d.py:474-475
+  UNet2DConditionModel     feature/diffusers/models/unet/unet_2d_condition.py:1169-1310
+  SDXL micro-conditioning  feature/diffusion_feature.py:534-571
+  VAE encoder posterior    stock diffusers AutoencoderKL (use_quant_conv=True)
+  Euler/PNDM schedulers    stock diffusers (deep-copied per extract,
+                           feature/diffusion_feature.py:288-295)
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from diffusion_feature_tpu.models.convert import convert_torch_state
+from diffusion_feature_tpu.taps import TapSpec, flatten_taps
+
+import torch_ref as tr
+
+torch.manual_seed(0)
+ALL = TapSpec.all()
+
+
+def convert(torch_module, template):
+    state = tr.state_dict_numpy(torch_module)
+    params, missing, unused = convert_torch_state(state, template)
+    assert not unused, f'torch keys not mapped: {unused[:5]}'
+    return params
+
+
+def assert_close(ours, theirs, atol=3e-5, rtol=1e-4, label=''):
+    a = np.asarray(ours, np.float32)
+    b = theirs.detach().numpy() if isinstance(theirs, torch.Tensor) else np.asarray(theirs)
+    assert a.shape == b.shape, f'{label}: shape {a.shape} vs {b.shape}'
+    np.testing.assert_allclose(a, b, atol=atol, rtol=rtol, err_msg=label)
+
+
+def compare_taps(flax_taps, torch_taps, atol=3e-5, rtol=1e-4):
+    """Every tap the flax model emitted must match the torch oracle's value
+    under the same layer id (torch emits cross-k/cross-v too; ours filters)."""
+    assert flax_taps, 'no taps captured'
+    for key, val in flax_taps.items():
+        assert key in torch_taps, f'tap {key} missing from torch oracle'
+        assert_close(val, torch_taps[key], atol=atol, rtol=rtol, label=key)
+
+
+class TestEmbeddings:
+    def test_timestep_embedding(self):
+        from diffusion_feature_tpu.models.layers import timestep_embedding
+        ts = np.array([0.0, 1.0, 50.0, 999.0], np.float32)
+        ours = timestep_embedding(jnp.asarray(ts), 64)
+        ref = tr.timestep_embedding(torch.tensor(ts), 64)
+        assert_close(ours, ref, label='timestep_embedding')
+        # odd dim + no flip + freq shift
+        ours = timestep_embedding(jnp.asarray(ts), 33, flip_sin_to_cos=False,
+                                  downscale_freq_shift=1.0)
+        ref = tr.timestep_embedding(torch.tensor(ts), 33, flip_sin_to_cos=False,
+                                    downscale_freq_shift=1.0)
+        assert_close(ours, ref, label='timestep_embedding odd')
+
+    def test_time_embedding_mlp(self):
+        from diffusion_feature_tpu.models.layers import TimestepEmbedding
+        ref = tr.TimestepEmbedding(32, 128)
+        ours = TimestepEmbedding(128)
+        x = np.random.RandomState(0).randn(2, 32).astype(np.float32)
+        template = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))['params']
+        params = convert(ref, template)
+        out = ours.apply({'params': params}, jnp.asarray(x))
+        assert_close(out, ref(torch.tensor(x)), label='TimestepEmbedding')
+
+
+class TestGroupNorm:
+    @pytest.mark.parametrize('eps', [1e-5, 1e-6])
+    def test_groupnorm(self, eps):
+        ref = torch.nn.GroupNorm(8, 32, eps=eps)
+        with torch.no_grad():
+            ref.weight.copy_(torch.rand(32) + 0.5)
+            ref.bias.copy_(torch.rand(32) - 0.5)
+        ours = nn.GroupNorm(num_groups=8, epsilon=eps)
+        x = np.random.RandomState(1).randn(2, 16, 16, 32).astype(np.float32)
+        template = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))['params']
+        params = {'scale': jnp.asarray(ref.weight.detach().numpy()),
+                  'bias': jnp.asarray(ref.bias.detach().numpy())}
+        assert jax.tree.map(jnp.shape, params) == jax.tree.map(jnp.shape, template)
+        out = ours.apply({'params': params}, jnp.asarray(x))
+        ref_out = ref(torch.tensor(x.transpose(0, 3, 1, 2)))
+        assert_close(jnp.transpose(out, (0, 3, 1, 2)), ref_out,
+                     label=f'groupnorm eps={eps}')
+
+
+class TestResnetBlock:
+    def test_resnet_block_taps(self):
+        """Time-emb add BEFORE norm2 (time_embedding_norm='default') and the
+        'increment' tap pre-residual — the exact order resnet.py:344-377 uses."""
+        from diffusion_feature_tpu.models.layers import ResnetBlock2D
+        ref = tr.ResnetBlock2D(32, 64, temb_dim=128)
+        ours = ResnetBlock2D(in_channels=32, out_channels=64, groups=32,
+                             taps=ALL, tap_name='res')
+        rng = np.random.RandomState(2)
+        x = rng.randn(2, 8, 8, 32).astype(np.float32)
+        temb = rng.randn(2, 128).astype(np.float32)
+        template = ours.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                             jnp.asarray(temb))['params']
+        params = convert(ref, template)
+        out, tap_state = ours.apply({'params': params}, jnp.asarray(x),
+                                    jnp.asarray(temb), mutable=['taps'])
+        ref_taps = {}
+        ref_out = ref(torch.tensor(x.transpose(0, 3, 1, 2)),
+                      torch.tensor(temb), taps=ref_taps, prefix='res-')
+        assert_close(jnp.transpose(out, (0, 3, 1, 2)), ref_out, label='res out')
+        compare_taps(flatten_taps(tap_state['taps']), ref_taps)
+
+
+class TestAttention:
+    def test_self_attention_qkv_map(self):
+        from diffusion_feature_tpu.models.layers import Attention
+        ref = tr.Attention(64, heads=4, dim_head=16)
+        ours = Attention(query_dim=64, heads=4, dim_head=16, taps=ALL,
+                         tap_name='self')
+        x = np.random.RandomState(3).randn(2, 25, 64).astype(np.float32)
+        template = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))['params']
+        params = convert(ref, template)
+        out, tap_state = ours.apply({'params': params}, jnp.asarray(x),
+                                    mutable=['taps'])
+        ref_taps = {}
+        ref_out = ref(torch.tensor(x), taps=ref_taps, prefix='self-')
+        assert_close(out, ref_out, label='self-attn out')
+        compare_taps(flatten_taps(tap_state['taps']), ref_taps)
+
+    def test_cross_attention(self):
+        from diffusion_feature_tpu.models.layers import Attention
+        ref = tr.Attention(64, heads=4, dim_head=16, cross_dim=48)
+        ours = Attention(query_dim=64, heads=4, dim_head=16,
+                         cross_attention_dim=48, taps=ALL, tap_name='cross',
+                         is_cross=True)
+        rng = np.random.RandomState(4)
+        x = rng.randn(2, 25, 64).astype(np.float32)
+        ctx = rng.randn(2, 7, 48).astype(np.float32)
+        template = ours.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                             jnp.asarray(ctx))['params']
+        params = convert(ref, template)
+        out, tap_state = ours.apply({'params': params}, jnp.asarray(x),
+                                    jnp.asarray(ctx), mutable=['taps'])
+        ref_taps = {}
+        ref_out = ref(torch.tensor(x), torch.tensor(ctx), taps=ref_taps,
+                      prefix='cross-')
+        assert_close(out, ref_out, label='cross-attn out')
+        # ours filters cross-k/cross-v at the tap level (reference drops them
+        # at store time, feature_extractor.py:38-39)
+        flat = flatten_taps(tap_state['taps'])
+        assert 'cross-k' not in flat and 'cross-v' not in flat
+        compare_taps(flat, ref_taps)
+
+
+class TestFeedForward:
+    def test_geglu_inner_tap(self):
+        from diffusion_feature_tpu.models.layers import FeedForward
+        ref = tr.FeedForward(64)
+        ours = FeedForward(64, taps=ALL, tap_name='ffn')
+        x = np.random.RandomState(5).randn(2, 9, 64).astype(np.float32)
+        template = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))['params']
+        params = convert(ref, template)
+        out, tap_state = ours.apply({'params': params}, jnp.asarray(x),
+                                    mutable=['taps'])
+        ref_taps = {}
+        ref_out = ref(torch.tensor(x), taps=ref_taps, prefix='ffn-')
+        assert_close(out, ref_out, label='ff out')
+        compare_taps(flatten_taps(tap_state['taps']), ref_taps)
+
+
+class TestBasicTransformerBlock:
+    def test_block_out_tap(self):
+        from diffusion_feature_tpu.models.layers import BasicTransformerBlock
+        ref = tr.BasicTransformerBlock(64, heads=4, dim_head=16, cross_dim=48)
+        ours = BasicTransformerBlock(dim=64, heads=4, dim_head=16,
+                                     cross_attention_dim=48, taps=ALL,
+                                     tap_name='block0')
+        rng = np.random.RandomState(6)
+        x = rng.randn(2, 16, 64).astype(np.float32)
+        ctx = rng.randn(2, 7, 48).astype(np.float32)
+        template = ours.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                             jnp.asarray(ctx))['params']
+        params = convert(ref, template)
+        out, tap_state = ours.apply({'params': params}, jnp.asarray(x),
+                                    jnp.asarray(ctx), mutable=['taps'])
+        ref_taps = {}
+        ref_out = ref(torch.tensor(x), torch.tensor(ctx), taps=ref_taps,
+                      prefix='block0-')
+        assert_close(out, ref_out, label='block out', atol=5e-5)
+        compare_taps(flatten_taps(tap_state['taps']), ref_taps, atol=5e-5)
+
+
+class TestTransformer2D:
+    @pytest.mark.parametrize('linear', [False, True])
+    def test_vit_out(self, linear):
+        from diffusion_feature_tpu.models.layers import Transformer2DModel
+        ref = tr.Transformer2DModel(64, heads=4, dim_head=16, depth=2,
+                                    cross_dim=48, use_linear_projection=linear)
+        ours = Transformer2DModel(in_channels=64, heads=4, dim_head=16,
+                                  depth=2, cross_attention_dim=48,
+                                  use_linear_projection=linear, taps=ALL,
+                                  tap_name='vit')
+        rng = np.random.RandomState(7)
+        x = rng.randn(2, 4, 4, 64).astype(np.float32)
+        ctx = rng.randn(2, 7, 48).astype(np.float32)
+        template = ours.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                             jnp.asarray(ctx))['params']
+        params = convert(ref, template)
+        out, tap_state = ours.apply({'params': params}, jnp.asarray(x),
+                                    jnp.asarray(ctx), mutable=['taps'])
+        ref_taps = {}
+        ref_out = ref(torch.tensor(x.transpose(0, 3, 1, 2)), torch.tensor(ctx),
+                      taps=ref_taps, prefix='vit-')
+        assert_close(jnp.transpose(out, (0, 3, 1, 2)), ref_out,
+                     label='vit out', atol=1e-4)
+        compare_taps(flatten_taps(tap_state['taps']), ref_taps, atol=1e-4)
+
+
+TINY_CFG = dict(
+    in_channels=4, out_channels=4, block_out_channels=(32, 64),
+    down_block_types=('CrossAttnDownBlock2D', 'DownBlock2D'),
+    up_block_types=('UpBlock2D', 'CrossAttnUpBlock2D'),
+    layers_per_block=1, num_attention_heads=(2, 2),
+    transformer_layers_per_block=(1, 1), cross_attention_dim=32,
+    use_linear_projection=False, norm_eps=1e-5,
+)
+
+
+class TestUNetGolden:
+    def _build(self, with_xl=False):
+        from diffusion_feature_tpu.models.unet2d import (
+            UNet2DConditionModel, tiny_unet_config)
+        cfg = tiny_unet_config(cross_dim=32, with_xl_embeds=with_xl)
+        tcfg = dict(TINY_CFG)
+        if with_xl:
+            tcfg.update(addition_embed_type='text_time',
+                        addition_time_embed_dim=cfg.addition_time_embed_dim,
+                        projection_class_embeddings_input_dim=
+                        cfg.projection_class_embeddings_input_dim)
+        ref = tr.UNet2DConditionModel(tcfg)
+        ours = UNet2DConditionModel(cfg=cfg, taps=ALL)
+        return ref, ours, cfg
+
+    def test_full_unet_every_tap(self):
+        """One tiny U-Net forward: final output + EVERY tap id's value
+        (res-increment/out, vit/block/ffn/q/k/v/map, down/upsampler, unet-*)
+        vs the torch oracle."""
+        ref, ours, _ = self._build()
+        rng = np.random.RandomState(8)
+        sample = rng.randn(2, 4, 16, 16).astype(np.float32)
+        ctx = rng.randn(2, 7, 32).astype(np.float32)
+        template = ours.init(jax.random.PRNGKey(0), jnp.asarray(sample), 50.0,
+                             jnp.asarray(ctx))['params']
+        params = convert(ref, template)
+        out, tap_state = ours.apply({'params': params}, jnp.asarray(sample),
+                                    50.0, jnp.asarray(ctx),
+                                    mutable=['taps', 'attn_store'])
+        ref_taps = {}
+        ref_out = ref(torch.tensor(sample), 50.0, torch.tensor(ctx),
+                      taps=ref_taps)
+        assert_close(out, ref_out, label='unet-out', atol=2e-4)
+        flat = flatten_taps(tap_state['taps'])
+        # the full published surface fires: spot-check the id families exist
+        for expected in ('down-level0-repeat0-res-increment',
+                         'down-level0-repeat0-vit-block0-self-q',
+                         'down-level0-repeat0-vit-block0-cross-map',
+                         'down-level0-repeat0-vit-block0-ffn-inner',
+                         'down-level0-downsampler-out', 'mid-vit-out',
+                         'up-level0-upsampler-out',
+                         'up-level1-repeat1-vit-block0-out',
+                         'unet-in', 'unet-after-conv-in', 'unet-out'):
+            assert expected in flat, f'missing tap {expected}'
+        compare_taps(flat, ref_taps, atol=2e-4)
+
+    def test_sdxl_microconditioning(self):
+        """text_time added-cond path with the facade's add_time_ids layout
+        [h, w, 0, 0, h, w] (reference diffusion_feature.py:534-571)."""
+        ref, ours, cfg = self._build(with_xl=True)
+        rng = np.random.RandomState(9)
+        sample = rng.randn(1, 4, 16, 16).astype(np.float32)
+        ctx = rng.randn(1, 7, 32).astype(np.float32)
+        pooled_dim = (cfg.projection_class_embeddings_input_dim
+                      - 6 * cfg.addition_time_embed_dim)
+        pooled = rng.randn(1, pooled_dim).astype(np.float32)
+        s = 128.0
+        time_ids = np.array([[s, s, 0.0, 0.0, s, s]], np.float32)
+        added = {'text_embeds': jnp.asarray(pooled),
+                 'time_ids': jnp.asarray(time_ids)}
+        template = ours.init(jax.random.PRNGKey(0), jnp.asarray(sample), 50.0,
+                             jnp.asarray(ctx), added)['params']
+        params = convert(ref, template)
+        out, _ = ours.apply({'params': params}, jnp.asarray(sample), 50.0,
+                            jnp.asarray(ctx), added,
+                            mutable=['taps', 'attn_store'])
+        ref_out = ref(torch.tensor(sample), 50.0, torch.tensor(ctx),
+                      added_cond={'text_embeds': torch.tensor(pooled),
+                                  'time_ids': torch.tensor(time_ids)})
+        assert_close(out, ref_out, label='xl unet-out', atol=2e-4)
+
+
+class TestVAEGolden:
+    def test_encoder_posterior(self):
+        """Encoder + quant_conv moments, then the DiagonalGaussian sample and
+        prepare_latents scaling with a fixed noise draw."""
+        from diffusion_feature_tpu.models.vae import (
+            AutoencoderKL, tiny_vae_config)
+        cfg = tiny_vae_config()
+        tcfg = dict(in_channels=3, latent_channels=cfg.latent_channels,
+                    block_out_channels=cfg.block_out_channels,
+                    layers_per_block=cfg.layers_per_block)
+        ref = tr.AutoencoderKLEncoder(tcfg)
+        ours = AutoencoderKL(cfg=cfg)
+        img = np.random.RandomState(10).rand(1, 3, 32, 32).astype(np.float32) * 2 - 1
+        full = ours.init(jax.random.PRNGKey(0), jnp.asarray(img),
+                         method=AutoencoderKL.full_pass)['params']
+        sub = {'encoder': full['encoder'], 'quant_conv': full['quant_conv']}
+        sub = convert(ref, sub)
+        params = dict(full)
+        params.update(sub)
+        moments = ours.apply({'params': params}, jnp.asarray(img),
+                             method=AutoencoderKL.encode_moments)
+        ref_moments = ref(torch.tensor(img))
+        assert_close(moments, ref_moments, label='vae moments', atol=1e-4)
+
+        # posterior sample + scaling (prepare_latents semantics): same
+        # arithmetic both sides from the compared moments
+        m = ref_moments.detach().numpy()
+        mean, logvar = np.split(m, 2, axis=1)
+        noise = np.random.RandomState(11).randn(*mean.shape).astype(np.float32)
+        std = np.exp(0.5 * np.clip(logvar, -30.0, 20.0))
+        z_ref = (mean + std * noise) * cfg.scaling_factor
+        ours_m = np.asarray(moments)
+        mean_o, logvar_o = np.split(ours_m, 2, axis=1)
+        z_ours = (mean_o + np.exp(0.5 * np.clip(logvar_o, -30, 20)) * noise) \
+            * cfg.scaling_factor
+        np.testing.assert_allclose(z_ours, z_ref, atol=2e-4, rtol=1e-4)
+
+
+class TestSchedulerGolden:
+    """Independent transcriptions of the stock diffusers schedulers the
+    reference deep-copies per extract (diffusion_feature.py:288-295)."""
+
+    def _betas(self):
+        return np.linspace(0.00085 ** 0.5, 0.012 ** 0.5, 1000,
+                           dtype=np.float64) ** 2
+
+    def test_euler_sigmas_add_noise_scale(self):
+        from diffusion_feature_tpu.schedulers.diffusion import (
+            EulerDiscreteScheduler, SchedulerConfig)
+        sched = EulerDiscreteScheduler(SchedulerConfig(
+            timestep_spacing='linspace'))
+        state = sched.set_timesteps(1000)
+        # diffusers EulerDiscreteScheduler.set_timesteps transcription
+        alphas_cumprod = np.cumprod(1.0 - self._betas())
+        sigmas_train = np.sqrt((1 - alphas_cumprod) / alphas_cumprod)
+        timesteps = np.linspace(0, 999, 1000, dtype=np.float32)[::-1].copy()
+        sigmas = np.interp(timesteps, np.arange(1000), sigmas_train)
+        np.testing.assert_allclose(np.asarray(state.timesteps, np.float64),
+                                   timesteps, atol=0, rtol=0)
+        np.testing.assert_allclose(state.sigmas[:-1], sigmas, rtol=1e-6)
+        assert state.sigmas[-1] == 0.0
+        # add_noise: sample + sigma * noise at the img2img latent timestep
+        ts_sel, _ = sched.get_timesteps(state, 1000, 50 / 1000)
+        t = ts_sel[0]
+        assert float(t) == 49.0   # Euler maps t=50 -> timestep 49
+        x = np.random.RandomState(12).randn(1, 4, 8, 8).astype(np.float32)
+        eps = np.random.RandomState(13).randn(1, 4, 8, 8).astype(np.float32)
+        got = np.asarray(sched.add_noise(state, jnp.asarray(x),
+                                         jnp.asarray(eps), t))
+        sigma = sigmas[np.nonzero(timesteps == float(t))[0][0]]
+        np.testing.assert_allclose(got, x + sigma * eps, rtol=1e-5, atol=1e-6)
+        scaled = np.asarray(sched.scale_model_input(state, jnp.asarray(x), t))
+        np.testing.assert_allclose(scaled, x / np.sqrt(sigma ** 2 + 1),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_pndm_timesteps_and_add_noise(self):
+        from diffusion_feature_tpu.schedulers.diffusion import (
+            PNDMScheduler, SchedulerConfig)
+        sched = PNDMScheduler(SchedulerConfig(steps_offset=1))
+        state = sched.set_timesteps(1000)
+        # diffusers PNDMScheduler (skip_prk_steps=True): plms timesteps get
+        # the duplicated second entry, making the array 1001 long; with the
+        # SD-1.5 checkpoint's steps_offset=1, index 950 of the reversed array
+        # is 51 — the reference pipeline really runs t=50 extraction at
+        # timestep 51 (offset+duplicate), reproduced exactly
+        base = np.arange(0, 1000, dtype=np.int64) + 1
+        plms = np.concatenate([base[:-1], base[-2:-1], base[-1:]])[::-1]
+        np.testing.assert_array_equal(state.timesteps, plms)
+        ts_sel, _ = sched.get_timesteps(state, 1000, 50 / 1000)
+        assert int(ts_sel[0]) == 51
+        alphas_cumprod = np.cumprod(1.0 - self._betas())
+        a = alphas_cumprod[51]
+        x = np.random.RandomState(14).randn(1, 4, 8, 8).astype(np.float32)
+        eps = np.random.RandomState(15).randn(1, 4, 8, 8).astype(np.float32)
+        got = np.asarray(sched.add_noise(state, jnp.asarray(x),
+                                         jnp.asarray(eps), int(ts_sel[0])))
+        want = np.sqrt(a) * x + np.sqrt(1 - a) * eps
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+class TestFullExtractStep:
+    def test_composed_extract_step(self):
+        """The reference's one-step extract (SURVEY §3.2): VAE encode ->
+        scale -> add_noise -> scale_model_input -> U-Net forward, composed
+        from the golden-verified pieces with a shared fixed noise draw."""
+        from diffusion_feature_tpu.models.vae import (
+            AutoencoderKL, tiny_vae_config)
+        from diffusion_feature_tpu.models.unet2d import (
+            UNet2DConditionModel, tiny_unet_config)
+        from diffusion_feature_tpu.schedulers.diffusion import (
+            PNDMScheduler, SchedulerConfig)
+
+        vcfg = tiny_vae_config()
+        ucfg = tiny_unet_config(cross_dim=32)
+        ref_vae = tr.AutoencoderKLEncoder(dict(
+            in_channels=3, latent_channels=4,
+            block_out_channels=vcfg.block_out_channels, layers_per_block=1))
+        ref_unet = tr.UNet2DConditionModel(dict(TINY_CFG))
+        vae = AutoencoderKL(cfg=vcfg)
+        unet = UNet2DConditionModel(cfg=ucfg,
+                                    taps=TapSpec(ids=frozenset(
+                                        {'up-level1-repeat0-res-out'})))
+
+        rng = np.random.RandomState(16)
+        img = rng.rand(1, 3, 32, 32).astype(np.float32) * 2 - 1
+        ctx = rng.randn(1, 7, 32).astype(np.float32)
+        noise = rng.randn(1, 4, 16, 16).astype(np.float32)
+
+        vfull = vae.init(jax.random.PRNGKey(0), jnp.asarray(img),
+                         method=AutoencoderKL.full_pass)['params']
+        vsub = convert(ref_vae, {'encoder': vfull['encoder'],
+                                 'quant_conv': vfull['quant_conv']})
+        vparams = dict(vfull)
+        vparams.update(vsub)
+        utmpl = unet.init(jax.random.PRNGKey(1), jnp.asarray(noise), 50.0,
+                          jnp.asarray(ctx))['params']
+        uparams = convert(ref_unet, utmpl)
+
+        sched = PNDMScheduler(SchedulerConfig(steps_offset=1))
+        state = sched.set_timesteps(1000)
+        ts, _ = sched.get_timesteps(state, 1000, 50 / 1000)
+        t = int(ts[0])
+
+        # ours (mean posterior -> deterministic)
+        moments = vae.apply({'params': vparams}, jnp.asarray(img),
+                            method=AutoencoderKL.encode_moments)
+        mean = jnp.split(moments, 2, axis=1)[0] * vcfg.scaling_factor
+        latents = sched.add_noise(state, mean, jnp.asarray(noise), t)
+        lat_in = sched.scale_model_input(state, latents, t)
+        out, tap_state = unet.apply({'params': uparams}, lat_in, float(t),
+                                    jnp.asarray(ctx),
+                                    mutable=['taps', 'attn_store'])
+
+        # torch oracle, same noise
+        with torch.no_grad():
+            r_moments = ref_vae(torch.tensor(img))
+            r_mean = r_moments.chunk(2, dim=1)[0] * vcfg.scaling_factor
+            a = np.cumprod(1.0 - np.linspace(0.00085 ** 0.5, 0.012 ** 0.5,
+                                             1000) ** 2)[t]
+            r_lat = (np.sqrt(a) * r_mean
+                     + np.sqrt(1 - a) * torch.tensor(noise)).float()
+            ref_taps = {}
+            r_out = ref_unet(r_lat, float(t), torch.tensor(ctx), taps=ref_taps)
+
+        assert_close(out, r_out, label='extract-step unet out', atol=5e-4)
+        flat = flatten_taps(tap_state['taps'])
+        assert_close(flat['up-level1-repeat0-res-out'],
+                     ref_taps['up-level1-repeat0-res-out'],
+                     label='extract-step tap', atol=5e-4)

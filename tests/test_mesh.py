@@ -9,6 +9,14 @@ from diffusion_feature_tpu import FeatureExtractor
 from diffusion_feature_tpu.parallel.mesh import make_mesh
 
 
+def _flatten(tree, prefix=()):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _flatten(v, prefix + (k,))
+    else:
+        yield prefix, tree
+
+
 def make_image(seed=0, size=80):
     rng = np.random.RandomState(seed)
     return Image.fromarray((rng.rand(size, size, 3) * 255).astype('uint8'))
@@ -34,6 +42,60 @@ class TestMeshExtraction:
         assert a.shape == b.shape == (4, 32, 32, 32)
         # same params/rng -> numerically matching features across the mesh
         assert np.allclose(a, b, rtol=0.02, atol=0.02)
+
+    def test_tp_sharded_extract_matches_tp1(self):
+        """VERDICT r1 item 4: tensor parallelism reachable from the facade —
+        a dp2xtp2 mesh must reproduce the unsharded features (reference
+        behavior to beat: thread-per-GPU placement,
+        correspondence/aggregation_network.py:67-95)."""
+        mesh = make_mesh(dp=2, tp=2, devices=jax.devices()[:4])
+        fe_tp = FeatureExtractor(layer={'up-level1-repeat0-res-out': True},
+                                 version='test-sd', img_size=64,
+                                 dtype='float32', mesh=mesh, seed=0)
+        fe_plain = FeatureExtractor(layer={'up-level1-repeat0-res-out': True},
+                                    version='test-sd', img_size=64,
+                                    dtype='float32', seed=0)
+        prompts = fe_plain.encode_prompt('a cat')
+        imgs = [make_image(i) for i in range(4)]
+        fe_tp._rng = jax.random.PRNGKey(7)
+        fe_plain._rng = jax.random.PRNGKey(7)
+        f1 = fe_tp.extract(prompts, 4, imgs, t=50)
+        f2 = fe_plain.extract(prompts, 4, imgs, t=50)
+        a = np.asarray(f1['up-level1-repeat0-res-out'], np.float32)
+        b = np.asarray(f2['up-level1-repeat0-res-out'], np.float32)
+        assert np.allclose(a, b, rtol=0.02, atol=0.02)
+        # the attention projections must actually live sharded over tp
+        placed = fe_tp._placed_params[1]
+        flat = {'/'.join(k): v for k, v in _flatten(placed['unet'])}
+        qs = [v for k, v in flat.items() if k.endswith('to_q/kernel')]
+        assert qs, 'no to_q kernels found in placed unet params'
+        from jax.sharding import PartitionSpec as P
+        assert any(v.sharding.spec == P(None, 'tp') for v in qs)
+
+    def test_params_placed_once(self, monkeypatch):
+        """VERDICT r1 item 5: the second extract() must not re-place the
+        param tree (only the fresh image batch transfers)."""
+        mesh = make_mesh(dp=4, tp=1, devices=jax.devices()[:4])
+        fe = FeatureExtractor(layer={'up-level1-repeat0-res-out': True},
+                              version='test-sd', img_size=64,
+                              dtype='float32', mesh=mesh)
+        prompts = fe.encode_prompt('a cat')
+        imgs = [make_image(i) for i in range(4)]
+        fe.extract(prompts, 4, imgs, t=50)
+        placed_first = fe._placed_params[1]
+
+        calls = []
+        real_put = jax.device_put
+
+        def counting_put(x, *a, **kw):
+            calls.append(x)
+            return real_put(x, *a, **kw)
+
+        monkeypatch.setattr(jax, 'device_put', counting_put)
+        fe.extract(prompts, 4, imgs, t=50)
+        # exactly one device_put: the image batch; zero for params
+        assert len(calls) == 1, f'expected 1 device_put, saw {len(calls)}'
+        assert fe._placed_params[1] is placed_first
 
     def test_output_is_dp_sharded(self):
         mesh = make_mesh(dp=4, tp=1, devices=jax.devices()[:4])
