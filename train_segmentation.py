@@ -122,7 +122,10 @@ def main(argv=None):
     parser.add_argument('--work_dir', type=str, default='./seg_out')
     parser.add_argument('--max_iters', type=int, default=80000)
     parser.add_argument('--batch_size', type=int, default=2)
-    parser.add_argument('--crop_size', type=int, default=512)
+    parser.add_argument('--crop_size', type=int, default=None,
+                        help='train/slide crop; defaults to the config\'s '
+                             'crop_size (reference per-config crop, e.g. '
+                             '1024 for city_*), else 512')
     parser.add_argument('--lr', type=float, default=1.6e-4)
     parser.add_argument('--weight_decay', type=float, default=0.001)
     parser.add_argument('--val_every', type=int, default=8000)
@@ -145,6 +148,9 @@ def main(argv=None):
     os.makedirs(args.work_dir, exist_ok=True)
     with open(args.config) as f:
         cfg = json.load(f)
+    if args.crop_size is None:
+        args.crop_size = int(cfg.get('crop_size', [512, 512])[0])
+    slide_stride = tuple(cfg.get('stride', [512, 512]))
     if isinstance(cfg['diffusion_feature'], list):   # multi-model ensemble
         feature_layers = [[[(lid, int(c)) for lid, c in lvl] for lvl in mfl]
                           for mfl in cfg['feature_layers']]
@@ -192,7 +198,7 @@ def main(argv=None):
                                  reduce_zero_label=args.reduce_zero_label)
             pred = seg.predict(params, batch_stats,
                                jnp.asarray(img)[None], mode='slide',
-                               crop_size=crop0, stride=crop0)
+                               crop_size=crop0, stride=slide_stride)
             preds.append(pred[0])
             gts.append(lab)
         _, miou = compute_iou(preds, gts, seg.head.num_classes,
@@ -272,7 +278,7 @@ def main(argv=None):
                         reduce_zero_label=args.reduce_zero_label)
                     pred = seg.predict(params, batch_stats,
                                        jnp.asarray(img)[None], mode='slide',
-                                       crop_size=crop, stride=crop)
+                                       crop_size=crop, stride=slide_stride)
                     preds.append(pred[0])
                     gts.append(lab)
                 _, miou = compute_iou(preds, gts, seg.head.num_classes,
