@@ -14,14 +14,26 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
+def _setting(number_class: int) -> dict:
+    """Shared scaffold: every reference dataset uses 10 ensemble members,
+    30-epoch cap, 50/650 train/test split sizes, 256^2 bilinear upsampling,
+    8448-dim aggregated features (data_util.py:30-100)."""
+    return dict(number_class=number_class, ignore_label=255, model_num=10,
+                max_training=30, upsample_mode='bilinear',
+                training_number=50, testing_number=650, dim=[256, 256, 8448])
+
+
+# all 6 reference dataset settings (data_util.py get_dataset_setting);
+# NOTE bedroom_28 really has 29 classes in the reference — keep the quirk
 DATASET_SETTINGS: Dict[str, dict] = {
-    'horse_21': dict(number_class=21, model_num=10, dim=[256, 256, None],
-                     ignore_label=255),
-    'face_34': dict(number_class=34, model_num=10, dim=[256, 256, None],
-                    ignore_label=255),
-    'cat_15': dict(number_class=15, model_num=10, dim=[256, 256, None],
-                   ignore_label=255),
+    'ffhq_34': _setting(34),
+    'bedroom_28': _setting(29),
+    'cat_15': _setting(15),
+    'horse_21': _setting(21),
+    'ade_bedroom_30': _setting(30),
+    'celeba_19': _setting(19),
 }
+DATASET_SETTINGS['face_34'] = DATASET_SETTINGS['ffhq_34']  # round-1 alias
 
 
 def get_dataset_setting(category: str) -> dict:
@@ -58,10 +70,17 @@ def list_feature_label_pairs(feature_dir: str, label_dir: str
     return pairs_f, pairs_l
 
 
-def get_palette(num_classes: int) -> np.ndarray:
-    """Deterministic (num_classes, 3) uint8 palette (the reference ships
-    hand-picked per-dataset palettes in data_util.py; this generates a
-    maximally-spread HSV wheel instead)."""
+def get_palette(category) -> np.ndarray:
+    """(num_classes, 3) uint8 palette.  Given a dataset name, returns the
+    reference's hand-picked palette (data_util.py get_palette); given an
+    integer class count, falls back to a deterministic HSV wheel (used by
+    tests / unknown datasets)."""
+    if isinstance(category, str):
+        from .palettes import PALETTES
+        if category == 'face_34':            # round-1 alias
+            category = 'ffhq_34'
+        return PALETTES[category].copy()
+    num_classes = int(category)
     import colorsys
     cols = [(0, 0, 0)]
     for i in range(1, num_classes):
@@ -69,6 +88,14 @@ def get_palette(num_classes: int) -> np.ndarray:
                                       0.85, 0.95)
         cols.append((int(r * 255), int(g * 255), int(b * 255)))
     return np.asarray(cols, np.uint8)
+
+
+def get_class_names(category: str) -> List[str]:
+    """Per-dataset class-name list (reference data_util.py get_class_names)."""
+    from .palettes import CLASS_NAMES
+    if category == 'face_34':
+        category = 'ffhq_34'
+    return list(CLASS_NAMES[category])
 
 
 def colorize_mask(mask: np.ndarray, palette: np.ndarray) -> np.ndarray:
