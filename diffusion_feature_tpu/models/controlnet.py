@@ -202,18 +202,34 @@ class ControlNetSpec:
 
     def __init__(self, kind: str, unet_cfg: UNetConfig, dtype,
                  preprocessor=None,
-                 cond_embed_channels: Tuple[int, ...] = (16, 32, 96, 256)):
+                 cond_embed_channels: Tuple[int, ...] = (16, 32, 96, 256),
+                 weights_root=None):
         self.kind = kind
-        if preprocessor is not None:
+        if preprocessor is not None and not isinstance(preprocessor, str):
             self.preprocess = preprocessor
         elif kind in ('canny', 'canny-xl'):
             self.preprocess = _canny_preprocess
         elif kind == 'depth':
-            raise NotImplementedError(
-                "the reference's depth controlnet preprocesses with a Midas "
-                "torch model fetched from the HF hub; in this zero-egress "
-                "build pass control=[('depth', your_depth_fn)] with a host "
-                "callable PIL -> (3,H,W) float32 [0,1]")
+            # reference semantics: MidasDetector + sd-controlnet-depth
+            # (feature/components/controlnet.py:65-78).  Zero-egress path:
+            # load a DPT depth checkpoint from a local dir — either passed
+            # explicitly as control=[('depth', '/path/to/depth_estimator')]
+            # or found at {weights_root}/depth_estimator like every other
+            # checkpoint component.  A callable override still wins.
+            import os
+            from .depth import DPTDepthEstimator
+            depth_dir = preprocessor if isinstance(preprocessor, str) else None
+            if depth_dir is None and weights_root is not None:
+                cand = os.path.join(weights_root, 'depth_estimator')
+                depth_dir = cand if os.path.isdir(cand) else None
+            if depth_dir is None:
+                raise FileNotFoundError(
+                    "depth controlnet needs a local depth estimator: pass "
+                    "control=[('depth', '/path/to/depth_estimator')] (a "
+                    "transformers-DPT-format dir), put one at "
+                    "{weights}/depth_estimator, or supply a callable "
+                    "PIL -> (3,H,W) float32 [0,1]")
+            self.preprocess = DPTDepthEstimator(depth_dir)
         else:
             raise NotImplementedError(f'controlnet kind {kind!r}')
         self.model = ControlNetModel(cfg=unet_cfg, dtype=dtype,
@@ -242,7 +258,8 @@ class ControlNetPipeline:
         for c in choices:
             kind, pre = (c if isinstance(c, tuple) else (c, None))
             net = ControlNetSpec(kind, spec.unet, extractor.dtype, pre,
-                                 cond_embed_channels=cond_ch)
+                                 cond_embed_channels=cond_ch,
+                                 weights_root=weights_root)
             sample = jnp.zeros((1, spec.unet.in_channels, lat, lat), self.dtype)
             ctx = jnp.zeros((1, 77, spec.unet.cross_attention_dim), self.dtype)
             cond = jnp.zeros((1, 3, extractor.img_size, extractor.img_size),
