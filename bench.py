@@ -10,6 +10,14 @@ The steady-state loop runs ON DEVICE inside one jitted ``lax.fori_loop``
 checksum), and the wall clock closes over a host readback of that checksum:
 dispatch-latency/async-queue artifacts (large under the axon TPU tunnel,
 where block_until_ready does not synchronize) cannot inflate the number.
+
+Modes (BENCH_MODE env):
+  xl (default) — the headline SDXL Ours-XL tap set; prints ONE JSON line.
+  maps         — Ours-XL-t attention-path variant: SD-1.5 15-amalgamation
+                 taps + the up_cross attention store, i.e. the Pallas
+                 flash-attention score-export path (headmean kernel +
+                 aggregation) carries the measurement.
+  both         — runs both, prints two JSON lines (xl line first).
 """
 
 import json
@@ -22,7 +30,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
-def main():
+def bench_xl(batch, iters, img_size=512):
+    """Headline: SDXL + Ours-XL practical taps (config_xl_practical.json)."""
     import jax
     import jax.numpy as jnp
     from diffusion_feature_tpu.models.unet2d import UNet2DConditionModel, SDXL_UNET
@@ -32,13 +41,7 @@ def main():
     from diffusion_feature_tpu.schedulers import EulerDiscreteScheduler
     from diffusion_feature_tpu.models.registry import XL_SCHED
 
-    on_tpu = jax.devices()[0].platform == 'tpu'
-    img_size = 512
-    batch = int(os.environ.get('BENCH_BATCH', '16' if on_tpu else '1'))
-    iters = int(os.environ.get('BENCH_ITERS', '10' if on_tpu else '2'))
     dtype = jnp.bfloat16
-
-    # Ours-XL practical tap set (reference configs/config_xl_practical.json)
     taps = TapSpec.from_config({
         'up-level0-repeat0-vit-block7-out': True,
         'up-level0-repeat0-vit-block5-out': True,
@@ -80,50 +83,135 @@ def main():
             {'text_embeds': pooled, 'time_ids': time_ids}, mutable=['taps'])
         return postprocess_taps(flatten_taps(tap_state['taps']))
 
-    def loop(n_steps):
-        def run(unet_params, vae_params, img, ctx, pooled, time_ids, rng):
-            def body(i, carry):
-                rng, acc = carry
-                rng, r, rp = jax.random.split(rng, 3)
-                # perturb the images per iteration: every batch is new data,
-                # so nothing (in particular the VAE encoder) is
-                # loop-invariant and hoistable by XLA
-                img_i = img + jax.random.normal(rp, img.shape,
-                                                img.dtype) * 0.01
-                feats = step(unet_params, vae_params, img_i, ctx, pooled,
-                             time_ids, r)
-                s = sum(jnp.sum(f.astype(jnp.float32)) for f in feats.values())
-                return (rng, acc + s)
-            _, acc = jax.lax.fori_loop(0, n_steps, body,
-                                       (rng, jnp.float32(0)))
-            return acc
-        return jax.jit(run)
-
     img = jax.random.uniform(rng, (batch, 3, img_size, img_size), dtype) * 2 - 1
     ctx = jnp.ones((batch, 77, 2048), dtype)
     pooled = jnp.ones((batch, 1280), dtype)
     time_ids = jnp.tile(jnp.asarray(
         [[img_size, img_size, 0, 0, img_size, img_size]], dtype), (batch, 1))
+    args = (unet_params, vae_params, img, ctx, pooled, time_ids)
+    return step, args
 
-    args = (unet_params, vae_params, img, ctx, pooled, time_ids,
-            jax.random.PRNGKey(1))
-    fbench = loop(iters)
-    # warmup/compile (1-step twin shares no cache but compiles the same ops)
-    _ = float(np.asarray(fbench(*args)))   # first call: compile + run
+
+def bench_maps(batch, iters, img_size=512):
+    """Attention-path variant (Ours-XL-t third extractor): SD-1.5 with the
+    15-amalgamation tap set + the up_cross attention store — the number is
+    carried by the Pallas flash-attention score-export path (headmean
+    kernel + size-band aggregation; reference components/attention.py)."""
+    import jax
+    import jax.numpy as jnp
+    from diffusion_feature_tpu.models.unet2d import UNet2DConditionModel, SD15_UNET
+    from diffusion_feature_tpu.models.vae import AutoencoderKL, SD_VAE
+    from diffusion_feature_tpu.taps import TapSpec, flatten_taps
+    from diffusion_feature_tpu.store import postprocess_taps
+    from diffusion_feature_tpu.schedulers import PNDMScheduler
+    from diffusion_feature_tpu.models.registry import SD_SCHED
+    from diffusion_feature_tpu.configs import resolve_layer_config
+    from diffusion_feature_tpu.facade import _aggregate_attention
+
+    dtype = jnp.bfloat16
+    taps = TapSpec.from_config(resolve_layer_config('15-amalgamation'))
+    # up_cross store band for U-Nets: (img/32, img/16) token-side sizes
+    unet = UNet2DConditionModel(cfg=SD15_UNET, dtype=dtype, taps=taps,
+                                attn_store_sizes=(img_size // 32,
+                                                  img_size // 16))
+    vae = AutoencoderKL(cfg=SD_VAE, dtype=dtype)
+    sched = PNDMScheduler(SD_SCHED)
+    state = sched.set_timesteps(1000)
+    timesteps, _ = sched.get_timesteps(state, 1000, 50 / 1000)
+    latent_t = int(timesteps[0])
+
+    lat = img_size // 8
+    rng = jax.random.PRNGKey(0)
+    unet_params = UNet2DConditionModel(cfg=SD15_UNET, dtype=dtype).init(
+        rng, jnp.zeros((1, 4, lat, lat), dtype), 50,
+        jnp.zeros((1, 77, 768), dtype))['params']
+    vae_params = vae.init(rng, jnp.zeros((1, 3, img_size, img_size), dtype),
+                          method=AutoencoderKL.full_pass)['params']
+    to_bf16 = lambda t: jax.tree.map(
+        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, t)
+    unet_params = to_bf16(unet_params)
+    vae_params = to_bf16(vae_params)
+
+    def step(unet_params, vae_params, img, ctx, noise_rng):
+        r1, r2 = jax.random.split(noise_rng)
+        latents = vae.apply({'params': vae_params}, img, r1)
+        noise = jax.random.normal(r2, latents.shape, latents.dtype)
+        latents = sched.add_noise(state, latents, noise, latent_t)
+        lat_in = sched.scale_model_input(state, latents, latent_t)
+        _, tap_state = unet.apply(
+            {'params': unet_params}, lat_in, float(latent_t), ctx,
+            mutable=['taps', 'attn_store'])
+        feats = postprocess_taps(flatten_taps(tap_state['taps']))
+        agg = _aggregate_attention(flatten_taps(tap_state['attn_store']),
+                                   ['up_cross'], img_size, dtype)
+        if agg is not None:
+            feats['attn'] = agg
+        return feats
+
+    img = jax.random.uniform(rng, (batch, 3, img_size, img_size), dtype) * 2 - 1
+    ctx = jnp.ones((batch, 77, 768), dtype)
+    args = (unet_params, vae_params, img, ctx)
+    return step, args
+
+
+def run_mode(name, step, args, batch, iters, metric, baseline):
+    import jax
+    import jax.numpy as jnp
+
+    def run(*all_args):
+        *model_args, rng = all_args
+        img_idx = 2                      # (unet_params, vae_params, img, ...)
+
+        def body(i, carry):
+            rng, acc = carry
+            rng, r, rp = jax.random.split(rng, 3)
+            # perturb the images per iteration: every batch is new data, so
+            # nothing (in particular the VAE encoder) is loop-invariant and
+            # hoistable by XLA
+            a = list(model_args)
+            a[img_idx] = a[img_idx] + jax.random.normal(
+                rp, a[img_idx].shape, a[img_idx].dtype) * 0.01
+            feats = step(*a, r)
+            s = sum(jnp.sum(f.astype(jnp.float32)) for f in feats.values())
+            return (rng, acc + s)
+        _, acc = jax.lax.fori_loop(0, iters, body, (rng, jnp.float32(0)))
+        return acc
+
+    fbench = jax.jit(run)
+    full_args = args + (jax.random.PRNGKey(1),)
+    _ = float(np.asarray(fbench(*full_args)))   # compile + warm run
     t0 = time.perf_counter()
-    acc = fbench(*args)
-    acc = float(np.asarray(acc))           # host readback = hard sync
+    acc = fbench(*full_args)
+    acc = float(np.asarray(acc))                # host readback = hard sync
     dt = time.perf_counter() - t0
     assert np.isfinite(acc)
 
     img_per_s = batch * iters / dt
-    baseline = 8.0  # img/s/chip north star (BASELINE.json)
     print(json.dumps({
-        'metric': 'sdxl_512_feature_extraction_throughput',
+        'metric': metric,
         'value': round(img_per_s, 3),
         'unit': 'img/s/chip',
         'vs_baseline': round(img_per_s / baseline, 3),
     }))
+
+
+def main():
+    import jax
+
+    on_tpu = jax.devices()[0].platform == 'tpu'
+    batch = int(os.environ.get('BENCH_BATCH', '16' if on_tpu else '1'))
+    iters = int(os.environ.get('BENCH_ITERS', '10' if on_tpu else '2'))
+    mode = os.environ.get('BENCH_MODE', 'xl')
+
+    baseline = 8.0  # img/s/chip north star (BASELINE.json)
+    if mode in ('xl', 'both'):
+        step, args = bench_xl(batch, iters)
+        run_mode('xl', step, args, batch, iters,
+                 'sdxl_512_feature_extraction_throughput', baseline)
+    if mode in ('maps', 'both'):
+        step, args = bench_maps(batch, iters)
+        run_mode('maps', step, args, batch, iters,
+                 'sd15_512_attention_maps_extraction_throughput', baseline)
 
 
 if __name__ == '__main__':
