@@ -236,6 +236,11 @@ class ControlNetSpec:
                                      cond_embed_channels=cond_embed_channels)
 
 
+class IPAdapter:
+    """API-parity stub: the reference declares an IPAdapter class but never
+    implements or uses it (feature/components/controlnet.py:81-82)."""
+
+
 class ControlNetPipeline:
     """Facade-side controlnet manager (reference ControlNetPipeline,
     feature/components/controlnet.py:87-136).  Preprocessing happens here on

@@ -277,7 +277,10 @@ def flash_attention_with_lse(
 def _headmean_kernel(q_ref, k_ref, lse_ref, o_ref, *, scale, heads):
     """Head-mean normalized score tile: (1/H) Σ_h exp(q_h k_h^T·scale -
     lse_h).  q_ref (1,H,bq,d), k_ref (1,H,bk,d), lse_ref (1,H,bq),
-    o_ref (1,bq,bk)."""
+    o_ref (1,bq,bk).  Accumulation is fp32; the write-back takes o_ref's
+    dtype, so the (Sq, Sk) map can stream to HBM at bf16 (halves the HBM
+    write volume at the 16k DiT self-map band, ~0.5 GiB/layer-image instead
+    of 1 GiB)."""
     acc = jnp.zeros(o_ref.shape[1:], jnp.float32)
     for hh in range(heads):          # static unroll; H is small
         s = jax.lax.dot_general(
@@ -285,10 +288,12 @@ def _headmean_kernel(q_ref, k_ref, lse_ref, o_ref, *, scale, heads):
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
         ) * scale
         acc = acc + jnp.exp(s - lse_ref[0, hh][:, None])
-    o_ref[0] = acc / heads
+    o_ref[0] = (acc / heads).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=('scale', 'block_q', 'block_k'))
+@functools.partial(jax.jit,
+                   static_argnames=('scale', 'block_q', 'block_k',
+                                    'out_dtype'))
 def headmean_probs(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -297,10 +302,14 @@ def headmean_probs(
     scale: float,
     block_q: int = 256,
     block_k: int = 256,
+    out_dtype=None,
 ) -> jnp.ndarray:
-    """(B,H,Sq,D), (B,H,Sk,D), (B,H,Sq) -> head-mean probs (B,Sq,Sk) fp32
+    """(B,H,Sq,D), (B,H,Sk,D), (B,H,Sq) -> head-mean probs (B,Sq,Sk)
     without ever materializing the per-head (B,H,Sq,Sk) tensor — the memory
-    cliff that forces the reference onto 11-GiB caps (SURVEY §5)."""
+    cliff that forces the reference onto 11-GiB caps (SURVEY §5).  The map
+    streams out at ``out_dtype`` (default: q's dtype, i.e. bf16 in
+    production; the store would down-cast it anyway)."""
+    out_dtype = q.dtype if out_dtype is None else out_dtype
     b, h, sq, d = q.shape
     sk = k.shape[2]
     block_q = _pick_block(sq, block_q)
@@ -322,7 +331,7 @@ def headmean_probs(
         ],
         out_specs=pl.BlockSpec((1, block_q, block_k),
                                lambda bi, qi, ki: (bi, qi, ki)),
-        out_shape=jax.ShapeDtypeStruct((b, sq, sk), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, sq, sk), out_dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('parallel', 'parallel', 'parallel'),
         ),
