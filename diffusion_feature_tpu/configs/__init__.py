@@ -66,7 +66,83 @@ BUILTIN_CONFIGS = {
     'pg-amalgamation': (
         'up-level0-repeat0-vit-block3-out',
     ),
+    # reference feature/configs/config_figure.json (paper figures)
+    'figure': (
+        'down-level0-downsampler-out', 'down-level1-downsampler-out',
+        'down-level2-repeat1-vit-out', 'up-level0-upsampler-out',
+        'up-level1-upsampler-out', 'up-level2-repeat2-vit-out',
+        'down-level0-repeat0-res-out', 'down-level1-repeat0-vit-out',
+        'down-level2-repeat0-vit-out', 'up-level0-repeat1-vit-out',
+        'up-level1-repeat1-vit-out', 'up-level2-repeat1-res-out',
+        'mid-vit-out',
+        'up-level0-repeat1-vit-block0-out', 'up-level0-repeat1-vit-block2-out',
+        'up-level0-repeat1-vit-block4-out', 'up-level0-repeat1-vit-block6-out',
+        'up-level0-repeat1-vit-block8-out',
+        'up-level0-repeat1-vit-block0-self-k',
+        'up-level0-repeat1-vit-block2-self-k',
+        'up-level0-repeat1-vit-block4-self-k',
+        'up-level0-repeat1-vit-block6-self-k',
+        'up-level0-repeat1-vit-block8-self-k',
+    ),
 }
+
+
+def _block_taps(prefix, kinds=('self-q', 'self-k', 'self-v', 'cross-q',
+                               'ffn-inner', 'out')):
+    return tuple(f'{prefix}-{k}' for k in kinds)
+
+
+def _analysis_15():
+    """config_15_analysis.json: every per-block activation kind at every
+    SD-1.5 position (reference's paper-analysis sweep) — generated from the
+    same structural pattern the file encodes, verified byte-exact in tests."""
+    ids = ['unet-in', 'unet-after-conv-in']
+    for lvl in range(4):
+        for rep in range(2):
+            p = f'down-level{lvl}-repeat{rep}'
+            ids += [f'{p}-res-increment', f'{p}-res-out']
+            if lvl < 3:                       # level 3 is DownBlock2D
+                ids += list(_block_taps(f'{p}-vit-block0')) + [f'{p}-vit-out']
+        if lvl < 3:
+            ids.append(f'down-level{lvl}-downsampler-out')
+    for rep in range(2):
+        ids += [f'mid-repeat{rep}-res-increment', f'mid-repeat{rep}-res-out']
+        if rep == 0:
+            ids += list(_block_taps('mid-vit-block0')) + ['mid-vit-out']
+    for lvl in range(4):
+        for rep in range(3):
+            p = f'up-level{lvl}-repeat{rep}'
+            ids += [f'{p}-res-increment', f'{p}-res-out']
+            if lvl > 0:                       # level 0 is UpBlock2D
+                ids += list(_block_taps(f'{p}-vit-block0')) + [f'{p}-vit-out']
+        if lvl < 3:
+            ids.append(f'up-level{lvl}-upsampler-out')
+    return tuple(ids)
+
+
+def _analysis_xl():
+    """config_xl_analysis(.2).json (the two reference files are identical):
+    SDXL up-path sweep — level0 depth-10 stacks at blocks {0,1,3,5,7,9},
+    level1 blocks {0,1}, level2 resnets only.  Per block: self-q/k, cross-q,
+    ffn-inner, out (no self-v)."""
+    kinds = ('self-q', 'self-k', 'cross-q', 'ffn-inner', 'out')
+    ids = []
+    for lvl, blocks in ((0, (0, 1, 3, 5, 7, 9)), (1, (0, 1)), (2, ())):
+        for rep in range(3):
+            p = f'up-level{lvl}-repeat{rep}'
+            ids += [f'{p}-res-increment', f'{p}-res-out']
+            for blk in blocks:
+                ids += list(_block_taps(f'{p}-vit-block{blk}', kinds))
+            if blocks:
+                ids.append(f'{p}-vit-out')
+        if lvl < 2:
+            ids.append(f'up-level{lvl}-upsampler-out')
+    return tuple(ids)
+
+
+BUILTIN_CONFIGS['15-analysis'] = _analysis_15()
+BUILTIN_CONFIGS['xl-analysis'] = _analysis_xl()
+BUILTIN_CONFIGS['xl-analysis2'] = BUILTIN_CONFIGS['xl-analysis']
 
 
 def get_builtin_config(name: str) -> dict:

@@ -92,3 +92,49 @@ class TestReferenceConfigParity:
         ref_xl = set(json.load(open(os.path.join(REFERENCE,
                                                  'config_xl_full.json'))))
         assert ours_xl == ref_xl
+
+
+@pytest.mark.skipif(not __import__('os').path.isdir(REFERENCE),
+                    reason='reference checkout not mounted')
+class TestBuiltinConfigParity:
+    """Every builtin layer config's enabled-id sequence equals the reference
+    JSON it mirrors — including the generated analysis sweeps and the figure
+    set (reference feature/configs/*.json)."""
+
+    PAIRS = [
+        ('15-practical', 'config_15_practical.json'),
+        ('15-legacy', 'config_15_legacy.json'),
+        ('xl-practical', 'config_xl_practical.json'),
+        ('xl-legacy', 'config_xl_legacy.json'),
+        ('15-amalgamation', 'config_15_amalgamation.json'),
+        ('15-amalgamation-small', 'config_15_amalgamation_small.json'),
+        ('pg-amalgamation', 'config_pg_amalgamation.json'),
+        ('15-analysis', 'config_15_analysis.json'),
+        ('xl-analysis', 'config_xl_analysis.json'),
+        ('xl-analysis2', 'config_xl_analysis2.json'),
+        ('figure', 'config_figure.json'),
+    ]
+
+    @pytest.mark.parametrize('name,ref_file', PAIRS)
+    def test_builtin_matches_reference(self, name, ref_file):
+        import json, os
+        from diffusion_feature_tpu.configs import BUILTIN_CONFIGS
+        ref = json.load(open(os.path.join(REFERENCE, ref_file)))
+        enabled = [k for k, v in ref.items() if v]
+        assert list(BUILTIN_CONFIGS[name]) == enabled, name
+
+    def test_builtin_ids_exist_in_enumerated_surface(self):
+        from diffusion_feature_tpu.configs import BUILTIN_CONFIGS
+        surfaces = {'15': enumerate_layers('1-5', 512),
+                    'xl': enumerate_layers('xl', 1024),
+                    'pg': enumerate_layers('pgv2', 1024)}
+        for name, ids in BUILTIN_CONFIGS.items():
+            fam = name.split('-')[0]
+            shapes = surfaces.get(fam, surfaces['15'])
+            # 'figure' is an SD-1.5 + XL mix: check against the union
+            if name == 'figure':
+                for lid in ids:
+                    assert (lid in surfaces['15'] or lid in surfaces['xl']), lid
+                continue
+            for lid in ids:
+                assert lid in shapes, f'{name}: {lid}'
