@@ -67,6 +67,7 @@ class FeatureExtractor:
         mesh=None,
         seed: int = 0,
         attn_store_sizes=None,   # override the size band (tests/tiny models)
+        t5_8bit=None,            # int8 T5 weights; None -> auto (flux+weights)
     ):
         self.spec: ModelSpec = get_model_spec(version)
         self.version = version
@@ -104,6 +105,11 @@ class FeatureExtractor:
             self.vae_scale = 2 ** (len(self.spec.vae.block_out_channels) - 1)
         else:
             self.vae_scale = 1
+        # reference loads Flux's T5-XXL in 8-bit (models.py:158-163); here
+        # int8 weight-only quantization kicks in for flux when real weights
+        # are given (random-init mode keeps fp weights; zeros would be
+        # degenerate), overridable for any T5 family via t5_8bit
+        self._t5_8bit = t5_8bit
         self._rng = jax.random.PRNGKey(seed)
         self.store_idx = None           # background extraction
         self._background_feats = {}
@@ -145,6 +151,13 @@ class FeatureExtractor:
             spec = self.spec = _adapt_spec_to_checkpoint(spec, weights)
             if spec.vae is not None:
                 self.vae_scale = 2 ** (len(spec.vae.block_out_channels) - 1)
+        if getattr(spec, 't5', None) is not None:
+            use_int8 = (self._t5_8bit if self._t5_8bit is not None
+                        else (spec.family == 'flux' and weights is not None))
+            if use_int8:
+                import dataclasses as _dc
+                spec = self.spec = _dc.replace(
+                    spec, t5=_dc.replace(spec.t5, quantize_int8=True))
 
         rng = jax.random.PRNGKey(seed)
         sz = self.img_size

@@ -42,8 +42,11 @@ def _normalize_key(key: str) -> str:
 
 
 _LEAF_CANDIDATES = {
-    # T5LayerNorm keeps the literal 'weight' param name
-    'weight': ('kernel', 'scale', 'embedding', 'weight'),
+    # T5LayerNorm keeps the literal 'weight' param name.  'kernel_q' (int8
+    # weight-only Dense, ops/quant.py) must outrank 'scale' so a quantized
+    # layer's checkpoint weight quantizes instead of colliding with its own
+    # per-channel scale param.
+    'weight': ('kernel', 'kernel_q', 'scale', 'embedding', 'weight'),
     'bias': ('bias',),
 }
 
@@ -86,6 +89,24 @@ def convert_torch_state(
             norm = f'{norm_base}_{cand}' if norm_base else cand
             if norm in by_norm:
                 path = by_norm[norm]
+                if cand == 'kernel_q':
+                    # quantize the full-precision checkpoint tensor on the
+                    # fly: int8 kernel here, f32 per-channel scale into the
+                    # sibling 'scale' param
+                    from ..ops.quant import quantize_int8
+                    t = np.asarray(tensor, np.float32).T
+                    if t.shape != tuple(flat_template[path].shape):
+                        raise ValueError(
+                            f'shape mismatch: got {t.shape}, want '
+                            f'{tuple(flat_template[path].shape)}')
+                    q_arr, s_arr = quantize_int8(t)
+                    spath = path[:-1] + ('scale',)
+                    out[path] = jnp.asarray(q_arr)
+                    out[spath] = jnp.asarray(s_arr)
+                    used.add(norm)
+                    used.add('_'.join(spath))
+                    placed = True
+                    break
                 arr = _transpose_for(cand, flat_template[path].shape,
                                      np.asarray(tensor))
                 if dtype is not None:

@@ -17,6 +17,15 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.attention import split_heads, merge_heads
+from ..ops.quant import Int8Dense
+
+
+def _dense(cfg, features, dtype, name):
+    """Projection factory: int8 weight-only or plain Dense (both biasless,
+    the T5 convention)."""
+    if cfg.quantize_int8:
+        return Int8Dense(features, dtype=dtype, name=name)
+    return nn.Dense(features, use_bias=False, dtype=dtype, name=name)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -30,6 +39,9 @@ class T5Config:
     relative_attention_num_buckets: int = 32
     relative_attention_max_distance: int = 128
     layer_norm_epsilon: float = 1e-6
+    # int8 weight-only projections (reference loads Flux's T5 in 8-bit,
+    # feature/components/models.py:158-163); requires converted real weights
+    quantize_int8: bool = False
 
 
 T5_XXL = T5Config()
@@ -78,9 +90,9 @@ class T5Attention(nn.Module):
     def __call__(self, x, position_bias, mask=None):
         cfg = self.cfg
         inner = cfg.num_heads * cfg.d_kv
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name='q')(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name='k')(x)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name='v')(x)
+        q = _dense(cfg, inner, self.dtype, 'q')(x)
+        k = _dense(cfg, inner, self.dtype, 'k')(x)
+        v = _dense(cfg, inner, self.dtype, 'v')(x)
         qh, kh, vh = (split_heads(t, cfg.num_heads) for t in (q, k, v))
         # T5 uses no 1/sqrt(d) scaling (folded into init)
         scores = jnp.einsum('bhqd,bhkd->bhqk', qh, kh,
@@ -91,8 +103,7 @@ class T5Attention(nn.Module):
         probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
         out = jnp.einsum('bhqk,bhkd->bhqd', probs, vh,
                          preferred_element_type=jnp.float32).astype(self.dtype)
-        return nn.Dense(cfg.d_model, use_bias=False, dtype=self.dtype,
-                        name='o')(merge_heads(out))
+        return _dense(cfg, cfg.d_model, self.dtype, 'o')(merge_heads(out))
 
 
 class T5Block(nn.Module):
@@ -108,11 +119,10 @@ class T5Block(nn.Module):
             h, position_bias, mask)
         h = T5LayerNorm(cfg.d_model, cfg.layer_norm_epsilon, dtype=self.dtype,
                         name='ln2')(x)
-        wi0 = nn.Dense(cfg.d_ff, use_bias=False, dtype=self.dtype, name='wi_0')(h)
-        wi1 = nn.Dense(cfg.d_ff, use_bias=False, dtype=self.dtype, name='wi_1')(h)
+        wi0 = _dense(cfg, cfg.d_ff, self.dtype, 'wi_0')(h)
+        wi1 = _dense(cfg, cfg.d_ff, self.dtype, 'wi_1')(h)
         ff = nn.gelu(wi0, approximate=True) * wi1
-        x = x + nn.Dense(cfg.d_model, use_bias=False, dtype=self.dtype,
-                         name='wo')(ff)
+        x = x + _dense(cfg, cfg.d_model, self.dtype, 'wo')(ff)
         return x
 
 
