@@ -1197,6 +1197,18 @@ def _adapt_spec_to_checkpoint(spec: ModelSpec, weights: str) -> ModelSpec:
                 os.path.join(weights, 'vae', 'config.json')):
             updates['vae'] = spec.vae.from_diffusers_config(
                 load_component_config(weights, 'vae'))
+        if spec.text_encoders:
+            from .models.clip_text import CLIPTextConfig
+            dirs = ['text_encoder', 'text_encoder_2']
+            adapted = []
+            for i, base in enumerate(spec.text_encoders):
+                cj = os.path.join(weights, dirs[i], 'config.json')
+                if os.path.exists(cj):
+                    adapted.append(CLIPTextConfig.from_diffusers_config(
+                        load_component_config(weights, dirs[i]), base))
+                else:
+                    adapted.append(base)
+            updates['text_encoders'] = tuple(adapted)
     except (OSError, ValueError, KeyError):
         return spec
     return dataclasses.replace(spec, **updates) if updates else spec

@@ -33,6 +33,39 @@ class CLIPTextConfig:
     eos_token_id: int = 49407
 
 
+def _clip_from_diffusers_config(d: dict,
+                                base: 'CLIPTextConfig' = None
+                                ) -> 'CLIPTextConfig':
+    """Adapt a transformers CLIPTextConfig json so fine-tuned checkpoints
+    with non-preset encoder shapes load exactly.  Whether a text_projection
+    head exists follows the checkpoint's architectures list; otherwise the
+    base spec's choice is kept (pipeline-level contract)."""
+    base = base if base is not None else CLIPTextConfig()
+    archs = d.get('architectures') or []
+    if any('WithProjection' in a for a in archs):
+        projection_dim = d.get('projection_dim', base.projection_dim)
+    elif archs:
+        projection_dim = None
+    else:
+        projection_dim = base.projection_dim
+    return CLIPTextConfig(
+        vocab_size=d.get('vocab_size', base.vocab_size),
+        hidden_size=d.get('hidden_size', base.hidden_size),
+        intermediate_size=d.get('intermediate_size', base.intermediate_size),
+        num_hidden_layers=d.get('num_hidden_layers', base.num_hidden_layers),
+        num_attention_heads=d.get('num_attention_heads',
+                                  base.num_attention_heads),
+        max_position_embeddings=d.get('max_position_embeddings',
+                                      base.max_position_embeddings),
+        hidden_act=d.get('hidden_act', base.hidden_act),
+        layer_norm_eps=d.get('layer_norm_eps', base.layer_norm_eps),
+        projection_dim=projection_dim,
+        eos_token_id=d.get('eos_token_id', base.eos_token_id),
+    )
+
+
+CLIPTextConfig.from_diffusers_config = staticmethod(_clip_from_diffusers_config)
+
 CLIP_VIT_L = CLIPTextConfig()
 OPENCLIP_VIT_H = CLIPTextConfig(hidden_size=1024, intermediate_size=4096,
                                 num_hidden_layers=23, num_attention_heads=16,

@@ -107,8 +107,11 @@ def convert_torch_state(
                     used.add('_'.join(spath))
                     placed = True
                     break
-                arr = _transpose_for(cand, flat_template[path].shape,
-                                     np.asarray(tensor))
+                try:
+                    arr = _transpose_for(cand, flat_template[path].shape,
+                                         np.asarray(tensor))
+                except ValueError as e:
+                    raise ValueError(f'{key} -> {"/".join(path)}: {e}') from e
                 if dtype is not None:
                     arr = arr.astype(dtype)
                 out[path] = jnp.asarray(arr)
