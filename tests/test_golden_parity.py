@@ -19,6 +19,14 @@ Reference math provenance (per block):
   VAE encoder posterior    stock diffusers AutoencoderKL (use_quant_conv=True)
   Euler/PNDM schedulers    stock diffusers (deep-copied per extract,
                            feature/diffusion_feature.py:288-295)
+  PixArt DiT               feature/diffusers/models/attention.py:497-594
+                           (ada_norm_single branch) + pipeline forward
+  Flux MMDiT               feature/diffusers/models/transformers/
+                           transformer_flux.py:40-215 (incl. the 'out'
+                           gathers-norm quirk) + attention_processor.py:2280
+  Hunyuan attention        feature/components/attention.py:294-401
+                           (HunyuanAttnStoreProcessor: LN qk-norm, RoPE on
+                           q always / k only for self-attention)
 """
 
 import numpy as np
@@ -484,3 +492,205 @@ class TestFullExtractStep:
         assert_close(flat['up-level1-repeat0-res-out'],
                      ref_taps['up-level1-repeat0-res-out'],
                      label='extract-step tap', atol=5e-4)
+
+
+class TestPixArtGolden:
+    """PixArt DiT golden parity: ada_norm_single block math (per-block
+    scale_shift_table, gated residuals, NO pre-cross-attn norm), AdaLN-single
+    shared modulation, caption projection, sincos positions, modulated final
+    norm, unpatchify — every tap value compared (reference
+    attention.py:497-594 + the PixArt pipeline transformer forward)."""
+
+    def _build(self):
+        from diffusion_feature_tpu.models.dit_pixart import (
+            PixArtTransformer2D, tiny_pixart_config)
+        cfg = tiny_pixart_config()
+        tcfg = dict(sample_size=cfg.sample_size, patch_size=cfg.patch_size,
+                    in_channels=cfg.in_channels, out_channels=cfg.out_channels,
+                    num_layers=cfg.num_layers,
+                    num_attention_heads=cfg.num_attention_heads,
+                    attention_head_dim=cfg.attention_head_dim,
+                    caption_channels=cfg.caption_channels,
+                    interpolation_scale=cfg.interpolation_scale)
+        torch.manual_seed(1)
+        ref = tr.PixArtTransformer2DModel(tcfg)
+        ours = PixArtTransformer2D(cfg=cfg, taps=ALL)
+        return ref, ours, cfg
+
+    def test_full_pixart_every_tap(self):
+        ref, ours, cfg = self._build()
+        rng = np.random.RandomState(20)
+        lat = cfg.sample_size
+        sample = rng.randn(2, cfg.in_channels, lat, lat).astype(np.float32)
+        ctx = rng.randn(2, 7, cfg.caption_channels).astype(np.float32)
+        template = ours.init(jax.random.PRNGKey(0), jnp.asarray(sample),
+                             500.0, jnp.asarray(ctx))['params']
+        params = convert(ref, template)
+        out, tap_state = ours.apply({'params': params}, jnp.asarray(sample),
+                                    500.0, jnp.asarray(ctx),
+                                    mutable=['taps', 'attn_store'])
+        ref_taps = {}
+        with torch.no_grad():
+            ref_out = ref(torch.tensor(sample), 500.0, torch.tensor(ctx),
+                          taps=ref_taps)
+        assert_close(out, ref_out, label='pixart out', atol=3e-4)
+        flat = flatten_taps(tap_state['taps'])
+        for expected in ('vit-block0-self-q', 'vit-block0-cross-q',
+                         'vit-block0-ffn-inner', 'vit-block0-out',
+                         'vit-block1-out', 'vit-block0-self-map'):
+            assert expected in flat, expected
+        compare_taps(flat, ref_taps, atol=3e-4)
+
+    def test_pixart_encoder_mask(self):
+        """The T5 keep-mask turns into the -10000 additive bias exactly like
+        the reference pipeline feeds it."""
+        ref, ours, cfg = self._build()
+        rng = np.random.RandomState(21)
+        lat = cfg.sample_size
+        sample = rng.randn(1, cfg.in_channels, lat, lat).astype(np.float32)
+        ctx = rng.randn(1, 7, cfg.caption_channels).astype(np.float32)
+        keep = np.array([[1, 1, 1, 1, 0, 0, 0]], np.float32)
+        template = ours.init(jax.random.PRNGKey(0), jnp.asarray(sample),
+                             500.0, jnp.asarray(ctx))['params']
+        params = convert(ref, template)
+        out, _ = ours.apply({'params': params}, jnp.asarray(sample), 500.0,
+                            jnp.asarray(ctx), jnp.asarray(keep),
+                            mutable=['taps', 'attn_store'])
+        bias = (1.0 - torch.tensor(keep))[:, None, None, :] * -10000.0
+        with torch.no_grad():
+            ref_out = ref(torch.tensor(sample), 500.0, torch.tensor(ctx),
+                          mask=bias)
+        assert_close(out, ref_out, label='pixart masked out', atol=3e-4)
+
+
+class TestFluxGolden:
+    """Flux MMDiT golden parity: AdaLayerNormZero dual-stream blocks with RMS
+    qk-norms + joint RoPE attention, single-stream parallel blocks, combined
+    timestep/guidance/pooled conditioning, AdaLayerNormContinuous output —
+    including the reference's tap quirks ('out' gathers norm_hidden_states
+    in dual blocks, transformer_flux.py:210-211; text-sliced taps in single
+    blocks, :107-108)."""
+
+    def _build(self):
+        from diffusion_feature_tpu.models.flux import (
+            FluxTransformer2D, tiny_flux_config)
+        cfg = tiny_flux_config()
+        tcfg = dict(in_channels=cfg.in_channels, num_layers=cfg.num_layers,
+                    num_single_layers=cfg.num_single_layers,
+                    attention_head_dim=cfg.attention_head_dim,
+                    num_attention_heads=cfg.num_attention_heads,
+                    joint_attention_dim=cfg.joint_attention_dim,
+                    pooled_projection_dim=cfg.pooled_projection_dim)
+        text_len = 8
+        torch.manual_seed(2)
+        ref = tr.FluxTransformer2DModel(tcfg, text_len=text_len)
+        ours = FluxTransformer2D(cfg=cfg, grid_hw=(4, 4), text_len=text_len,
+                                 taps=ALL)
+        return ref, ours, cfg, text_len
+
+    def test_full_flux_every_tap(self):
+        import torch_ref as tr_mod
+        from diffusion_feature_tpu.models.flux import (
+            make_img_ids, rope_cos_sin)
+        ref, ours, cfg, text_len = self._build()
+        rng = np.random.RandomState(30)
+        packed = rng.randn(2, 16, cfg.in_channels).astype(np.float32)
+        ctx = rng.randn(2, text_len, cfg.joint_attention_dim).astype(np.float32)
+        pooled = rng.randn(2, cfg.pooled_projection_dim).astype(np.float32)
+
+        template = ours.init(jax.random.PRNGKey(0), jnp.asarray(packed),
+                             500.0, jnp.asarray(ctx),
+                             jnp.asarray(pooled))['params']
+        params = convert(ref, template)
+        out, tap_state = ours.apply({'params': params}, jnp.asarray(packed),
+                                    500.0, jnp.asarray(ctx),
+                                    jnp.asarray(pooled),
+                                    mutable=['taps', 'attn_store'])
+        ids = np.concatenate([np.zeros((text_len, 3), np.float32),
+                              make_img_ids(8, 8)], axis=0)
+        cos, sin = tr_mod.flux_rope_cos_sin(ids, cfg.axes_dims_rope)
+        ref_taps = {}
+        with torch.no_grad():
+            ref_out = ref(torch.tensor(packed), 500.0, torch.tensor(ctx),
+                          torch.tensor(pooled), cos, sin, taps=ref_taps)
+        assert_close(out, ref_out, label='flux out', atol=5e-4)
+        flat = flatten_taps(tap_state['taps'])
+        n_dual = cfg.num_layers
+        for expected in ('vit-block0-q', 'vit-block0-cross-map',
+                         'vit-block0-self-map', 'vit-block0-attn-out',
+                         'vit-block0-norm-out', 'vit-block0-out',
+                         'vit-block0-ffn-inner',
+                         f'vit-block{n_dual}-q', f'vit-block{n_dual}-out'):
+            assert expected in flat, expected
+        compare_taps(flat, ref_taps, atol=5e-4)
+
+    def test_dual_out_quirk_is_norm_hidden_states(self):
+        """The 'out' tap of a dual block equals its 'norm-out' tap — the
+        reference gathers norm_hidden_states twice (transformer_flux.py
+        :200-201 and :210-211), NOT the residual-added output."""
+        ref, ours, cfg, text_len = self._build()
+        rng = np.random.RandomState(31)
+        packed = rng.randn(1, 16, cfg.in_channels).astype(np.float32)
+        ctx = rng.randn(1, text_len, cfg.joint_attention_dim).astype(np.float32)
+        pooled = rng.randn(1, cfg.pooled_projection_dim).astype(np.float32)
+        template = ours.init(jax.random.PRNGKey(0), jnp.asarray(packed),
+                             500.0, jnp.asarray(ctx),
+                             jnp.asarray(pooled))['params']
+        params = convert(ref, template)
+        _, tap_state = ours.apply({'params': params}, jnp.asarray(packed),
+                                  500.0, jnp.asarray(ctx), jnp.asarray(pooled),
+                                  mutable=['taps', 'attn_store'])
+        flat = flatten_taps(tap_state['taps'])
+        np.testing.assert_array_equal(np.asarray(flat['vit-block0-out']),
+                                      np.asarray(flat['vit-block0-norm-out']))
+
+
+class TestHunyuanAttentionGolden:
+    """The Hunyuan surface the reference instruments is its attention
+    processor (components/attention.py:294-401): per-head LayerNorm qk-norm,
+    RoPE on q always / k only when self-attention, explicit softmax taps."""
+
+    def _build(self, is_cross):
+        from diffusion_feature_tpu.models.hunyuan import (
+            HunyuanAttention, tiny_hunyuan_config)
+        cfg = tiny_hunyuan_config()
+        torch.manual_seed(3)
+        ref = tr.HunyuanAttention(cfg.hidden_size, cfg.num_attention_heads,
+                                  cfg.head_dim, is_cross=is_cross)
+        ours = HunyuanAttention(cfg=cfg, is_cross=is_cross, taps=ALL,
+                                tap_name='cross' if is_cross else 'self')
+        return ref, ours, cfg
+
+    @pytest.mark.parametrize('is_cross', [False, True])
+    def test_attention_with_rope(self, is_cross):
+        import torch_ref as tr_mod
+        from diffusion_feature_tpu.models.hunyuan import HunyuanAttention
+        ref, ours, cfg = self._build(is_cross)
+        rng = np.random.RandomState(40)
+        s = 16
+        x = rng.randn(2, s, cfg.hidden_size).astype(np.float32)
+        ctx = (rng.randn(2, 7, cfg.hidden_size).astype(np.float32)
+               if is_cross else None)
+        # 2-axis RoPE table over a 4x4 grid at the attention head dim
+        ids = np.stack(np.meshgrid(np.arange(4), np.arange(4),
+                                   indexing='ij'), -1).reshape(-1, 2)
+        half = cfg.head_dim // 2
+        cos_t, sin_t = tr_mod.flux_rope_cos_sin(ids, (half, half))
+        cos = jnp.asarray(cos_t.numpy())
+        sin = jnp.asarray(sin_t.numpy())
+
+        args = (jnp.asarray(x),) + ((jnp.asarray(ctx),) if is_cross else (None,))
+        template = ours.init(jax.random.PRNGKey(0), *args, cos, sin)['params']
+        params = convert(ref, template)
+        out, tap_state = ours.apply({'params': params}, *args, cos, sin,
+                                    mutable=['taps', 'attn_store'])
+        ref_taps = {}
+        prefix = 'cross-' if is_cross else 'self-'
+        with torch.no_grad():
+            ref_out = ref(torch.tensor(x),
+                          torch.tensor(ctx) if is_cross else None,
+                          cos_t, sin_t, taps=ref_taps, prefix=prefix)
+        assert_close(out, ref_out, label='hunyuan attn out', atol=1e-4)
+        flat = flatten_taps(tap_state['taps'])
+        assert f'{prefix}map' in flat
+        compare_taps(flat, ref_taps, atol=1e-4)

@@ -548,3 +548,451 @@ class AutoencoderKLEncoder(nn.Module):
 
 def state_dict_numpy(module: nn.Module) -> dict:
     return {k: v.detach().numpy() for k, v in module.state_dict().items()}
+
+
+# ---------------------------------------------------------------- PixArt DiT
+class PixArtFeedForward(nn.Module):
+    """PixArt FFN: GELU(tanh) proj -> linear (diffusers FeedForward with
+    activation_fn='gelu-approximate'); 'ffn-inner' tap after net[0]."""
+
+    def __init__(self, dim: int, mult: int = 4):
+        super().__init__()
+        inner = dim * mult
+        proj = nn.Module()
+        proj.proj = nn.Linear(dim, inner)
+        self.net = nn.ModuleList([proj, nn.Identity(), nn.Linear(inner, dim)])
+
+    def forward(self, x, taps=None, prefix=''):
+        h = F.gelu(self.net[0].proj(x), approximate='tanh')
+        if taps is not None:
+            taps[f'{prefix}inner'] = h
+        return self.net[2](h)
+
+
+class PixArtBlock(nn.Module):
+    """BasicTransformerBlock with norm_type='ada_norm_single' (reference
+    feature/diffusers/models/attention.py:497-594): per-block
+    scale_shift_table + shared 6*dim timestep modulation; NO norm before
+    cross-attention; gated self-attn and FFN residuals; 'out' tap at end."""
+
+    def __init__(self, dim: int, heads: int, dim_head: int, cross_dim: int):
+        super().__init__()
+        self.scale_shift_table = nn.Parameter(torch.randn(6, dim) / dim ** 0.5)
+        self.norm1 = nn.LayerNorm(dim, eps=1e-6, elementwise_affine=False)
+        self.attn1 = Attention(dim, heads, dim_head, qkv_bias=True)
+        self.attn2 = Attention(dim, heads, dim_head, cross_dim=cross_dim,
+                               qkv_bias=True)
+        self.norm2 = nn.LayerNorm(dim, eps=1e-6, elementwise_affine=False)
+        self.ff = PixArtFeedForward(dim)
+
+    def forward(self, x, ctx, t6, mask=None, taps=None, prefix=''):
+        b = x.shape[0]
+        shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = (
+            self.scale_shift_table[None] + t6.reshape(b, 6, -1)).chunk(6, dim=1)
+        h = self.norm1(x) * (1 + scale_msa) + shift_msa
+        x = x + gate_msa * self.attn1(h, taps=taps, prefix=f'{prefix}self-')
+        x = x + self.attn2(x, ctx, mask, taps=taps, prefix=f'{prefix}cross-')
+        h = self.norm2(x) * (1 + scale_mlp) + shift_mlp
+        x = x + gate_mlp * self.ff(h, taps=taps, prefix=f'{prefix}ffn-')
+        if taps is not None:
+            taps[f'{prefix}out'] = x
+        return x
+
+
+def pixart_sincos_pos_embed(dim, grid, base_size, interpolation_scale):
+    """diffusers get_2d_sincos_pos_embed (MAE lineage): grid[0] = column."""
+    import numpy as np
+    g = np.arange(grid, dtype=np.float64) / (grid / base_size) / interpolation_scale
+    col, row = np.meshgrid(g, g)
+
+    def embed_1d(d, pos):
+        omega = np.arange(d // 2, dtype=np.float64) / (d / 2.0)
+        omega = 1.0 / 10000 ** omega
+        out = np.einsum('m,d->md', pos.reshape(-1), omega)
+        return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+    return np.concatenate([embed_1d(dim // 2, col), embed_1d(dim // 2, row)],
+                          axis=1)
+
+
+class PixArtTransformer2DModel(nn.Module):
+    """Tiny-config transcription of the PixArt pipeline's transformer
+    forward: patchify + sincos positions, AdaLayerNormSingle, caption
+    projection, blocks, modulated final norm, unpatchify (learned sigma
+    kept: out_channels = 2x latent)."""
+
+    def __init__(self, cfg: dict):
+        super().__init__()
+        self.cfg = cfg
+        dim = cfg['num_attention_heads'] * cfg['attention_head_dim']
+        pe = nn.Module()
+        pe.proj = nn.Conv2d(cfg['in_channels'], dim, cfg['patch_size'],
+                            stride=cfg['patch_size'])
+        self.pos_embed = pe
+        ada = nn.Module()
+        emb = nn.Module()
+        emb.timestep_embedder = TimestepEmbedding(256, dim)
+        ada.emb = emb
+        ada.linear = nn.Linear(dim, 6 * dim)
+        self.adaln_single = ada
+        cap = nn.Module()
+        cap.linear_1 = nn.Linear(cfg['caption_channels'], dim)
+        cap.linear_2 = nn.Linear(dim, dim)
+        self.caption_projection = cap
+        self.transformer_blocks = nn.ModuleList([
+            PixArtBlock(dim, cfg['num_attention_heads'],
+                        cfg['attention_head_dim'], dim)
+            for _ in range(cfg['num_layers'])])
+        self.scale_shift_table = nn.Parameter(torch.randn(2, dim) / dim ** 0.5)
+        self.norm_out = nn.LayerNorm(dim, eps=1e-6, elementwise_affine=False)
+        self.proj_out = nn.Linear(
+            dim, cfg['patch_size'] ** 2 * cfg['out_channels'])
+
+    def forward(self, sample, timestep, ctx, mask=None, taps=None):
+        cfg = self.cfg
+        b, c, hh, ww = sample.shape
+        p = cfg['patch_size']
+        gh = hh // p
+        dim = self.proj_out.in_features
+        x = self.pos_embed.proj(sample)
+        x = x.flatten(2).transpose(1, 2)          # (b, T, dim)
+        pos = pixart_sincos_pos_embed(dim, gh, cfg['sample_size'] // p,
+                                      cfg['interpolation_scale'])
+        x = x + torch.tensor(pos, dtype=x.dtype)[None]
+
+        ts = torch.full((b,), float(timestep))
+        emb = self.adaln_single.emb.timestep_embedder(
+            timestep_embedding(ts, 256))
+        t6 = self.adaln_single.linear(F.silu(emb))
+        ctx = self.caption_projection.linear_2(
+            F.gelu(self.caption_projection.linear_1(ctx), approximate='tanh'))
+
+        for i, blk in enumerate(self.transformer_blocks):
+            x = blk(x, ctx, t6, mask, taps=taps, prefix=f'vit-block{i}-')
+
+        shift, scale = (self.scale_shift_table[None]
+                        + emb[:, None]).chunk(2, dim=1)
+        h = self.norm_out(x) * (1 + scale) + shift
+        h = self.proj_out(h)
+        h = h.reshape(b, gh, gh, p, p, cfg['out_channels'])
+        h = torch.einsum('bhwpqc->bchpwq', h).reshape(
+            b, cfg['out_channels'], gh * p, gh * p)
+        return h
+
+
+# ------------------------------------------------------------------ Flux MMDiT
+def flux_rope_cos_sin(ids, axes_dim, theta=10000.0):
+    """FluxPosEmbed numerics: per-axis angles, repeat-interleaved to the
+    real form (torch tensors, fp64 accumulation like the reference)."""
+    import numpy as np
+    coss, sins = [], []
+    for i, d in enumerate(axes_dim):
+        freqs = 1.0 / theta ** (np.arange(0, d, 2, dtype=np.float64) / d)
+        ang = np.asarray(ids[:, i], np.float64)[:, None] * freqs[None, :]
+        coss.append(np.repeat(np.cos(ang), 2, axis=1))
+        sins.append(np.repeat(np.sin(ang), 2, axis=1))
+    cos = torch.tensor(np.concatenate(coss, 1), dtype=torch.float32)
+    sin = torch.tensor(np.concatenate(sins, 1), dtype=torch.float32)
+    return cos, sin
+
+
+def flux_apply_rope(x, cos, sin):
+    """diffusers apply_rotary_emb(use_real, use_real_unbind_dim=-1):
+    x (B, H, S, D), cos/sin (S, D)."""
+    xf = x.float()
+    x1, x2 = xf[..., 0::2], xf[..., 1::2]
+    rotated = torch.stack([-x2, x1], dim=-1).flatten(3)
+    return (xf * cos[None, None] + rotated * sin[None, None]).to(x.dtype)
+
+
+class TorchRMSNorm(nn.Module):
+    def __init__(self, dim, eps=1e-6):
+        super().__init__()
+        self.weight = nn.Parameter(torch.ones(dim))
+        self.eps = eps
+
+    def forward(self, x):
+        var = x.float().pow(2).mean(-1, keepdim=True)
+        x = x * torch.rsqrt(var + self.eps)
+        return x * self.weight
+
+
+class FluxGELUProj(nn.Module):
+    """FeedForward(activation_fn='gelu-approximate')."""
+
+    def __init__(self, dim, inner):
+        super().__init__()
+        proj = nn.Module()
+        proj.proj = nn.Linear(dim, inner)
+        self.net = nn.ModuleList([proj, nn.Identity(), nn.Linear(inner, dim)])
+
+    def forward(self, x, taps=None, prefix=''):
+        h = F.gelu(self.net[0].proj(x), approximate='tanh')
+        if taps is not None:
+            taps[f'{prefix}inner'] = h
+        return self.net[2](h)
+
+
+class FluxJointAttention(nn.Module):
+    """FluxAttnProcessor2_0 with the store-processor's taps (reference
+    feature/diffusers/models/attention_processor.py:2280-2361 +
+    components/attention.py:404-527): image-stream q/k/v taps, RMS qk-norms,
+    joint [text; image] sequence with RoPE, cross/self map split,
+    post-projection attn-out."""
+
+    def __init__(self, dim, heads, dim_head):
+        super().__init__()
+        inner = heads * dim_head
+        self.heads, self.dim_head = heads, dim_head
+        self.to_q = nn.Linear(dim, inner)
+        self.to_k = nn.Linear(dim, inner)
+        self.to_v = nn.Linear(dim, inner)
+        self.norm_q = TorchRMSNorm(dim_head)
+        self.norm_k = TorchRMSNorm(dim_head)
+        self.add_q_proj = nn.Linear(dim, inner)
+        self.add_k_proj = nn.Linear(dim, inner)
+        self.add_v_proj = nn.Linear(dim, inner)
+        self.norm_added_q = TorchRMSNorm(dim_head)
+        self.norm_added_k = TorchRMSNorm(dim_head)
+        self.to_out = nn.ModuleList([nn.Linear(inner, dim)])
+        self.to_add_out = nn.Linear(inner, dim)
+
+    def _split(self, t):
+        b, s, inner = t.shape
+        return t.view(b, s, self.heads, self.dim_head).transpose(1, 2)
+
+    def forward(self, img, ctx, cos, sin, taps=None, prefix=''):
+        q, k, v = self.to_q(img), self.to_k(img), self.to_v(img)
+        if taps is not None:
+            taps[f'{prefix}q'] = q
+            taps[f'{prefix}k'] = k
+            taps[f'{prefix}v'] = v
+        qh = self.norm_q(self._split(q))
+        kh = self.norm_k(self._split(k))
+        vh = self._split(v)
+        cqh = self.norm_added_q(self._split(self.add_q_proj(ctx)))
+        ckh = self.norm_added_k(self._split(self.add_k_proj(ctx)))
+        cvh = self._split(self.add_v_proj(ctx))
+        tl = ctx.shape[1]
+        qj = torch.cat([cqh, qh], dim=2)
+        kj = torch.cat([ckh, kh], dim=2)
+        vj = torch.cat([cvh, vh], dim=2)
+        qj = flux_apply_rope(qj, cos, sin)
+        kj = flux_apply_rope(kj, cos, sin)
+        scores = qj @ kj.transpose(-1, -2) * self.dim_head ** -0.5
+        probs = scores.softmax(dim=-1)
+        if taps is not None:
+            taps[f'{prefix}cross-map'] = probs[:, :, tl:, :tl]
+            taps[f'{prefix}self-map'] = probs[:, :, tl:, tl:]
+        out = probs @ vj
+        b, _, s, _ = out.shape
+        out = out.transpose(1, 2).reshape(b, s, -1)
+        ctx_out, img_out = out[:, :tl], out[:, tl:]
+        img_out = self.to_out[0](img_out)
+        if taps is not None:
+            taps[f'{prefix}attn-out'] = img_out
+        return img_out, self.to_add_out(ctx_out)
+
+
+class FluxTransformerBlock(nn.Module):
+    """Dual-stream MMDiT block (reference transformer_flux.py:120-215):
+    AdaLayerNormZero on both streams; taps 'norm-out' (post-norm2 modulated)
+    and — quirk — 'out' gathers the SAME tensor, not the residual output."""
+
+    def __init__(self, dim, heads, dim_head, mlp_ratio=4.0):
+        super().__init__()
+        n1 = nn.Module()
+        n1.linear = nn.Linear(dim, 6 * dim)
+        self.norm1 = n1
+        n1c = nn.Module()
+        n1c.linear = nn.Linear(dim, 6 * dim)
+        self.norm1_context = n1c
+        self.attn = FluxJointAttention(dim, heads, dim_head)
+        self.ln = nn.LayerNorm(dim, eps=1e-6, elementwise_affine=False)
+        inner = int(dim * mlp_ratio)
+        self.ff = FluxGELUProj(dim, inner)
+        self.ff_context = FluxGELUProj(dim, inner)
+
+    def forward(self, img, ctx, temb, cos, sin, taps=None, prefix=''):
+        st = F.silu(temb)
+        sh, sc, g, sh2, sc2, g2 = self.norm1.linear(st).chunk(6, dim=-1)
+        csh, csc, cg, csh2, csc2, cg2 = self.norm1_context.linear(st).chunk(6, dim=-1)
+        nimg = self.ln(img) * (1 + sc[:, None]) + sh[:, None]
+        nctx = self.ln(ctx) * (1 + csc[:, None]) + csh[:, None]
+        a_img, a_ctx = self.attn(nimg, nctx, cos, sin, taps=taps, prefix=prefix)
+        img = img + g[:, None] * a_img
+        norm_h = self.ln(img) * (1 + sc2[:, None]) + sh2[:, None]
+        if taps is not None:
+            taps[f'{prefix}norm-out'] = norm_h
+        img = img + g2[:, None] * self.ff(norm_h, taps=taps,
+                                          prefix=f'{prefix}ffn-')
+        if taps is not None:
+            taps[f'{prefix}out'] = norm_h     # reference :210-211 quirk
+        ctx = ctx + cg[:, None] * a_ctx
+        nctx2 = self.ln(ctx) * (1 + csc2[:, None]) + csh2[:, None]
+        ctx = ctx + cg2[:, None] * self.ff_context(nctx2)
+        return img, ctx
+
+
+class FluxSingleTransformerBlock(nn.Module):
+    """Single-stream block (reference transformer_flux.py:40-110): parallel
+    attention (pre_only, no out-proj) + MLP, fused gated projection; taps
+    text-sliced q/k/v, maps, attn-out, and 'out' (:107-108)."""
+
+    def __init__(self, dim, heads, dim_head, text_len, mlp_ratio=4.0):
+        super().__init__()
+        n = nn.Module()
+        n.linear = nn.Linear(dim, 3 * dim)
+        self.norm = n
+        self.ln = nn.LayerNorm(dim, eps=1e-6, elementwise_affine=False)
+        inner = heads * dim_head
+        mlp = int(dim * mlp_ratio)
+        self.proj_mlp = nn.Linear(dim, mlp)
+        attn = nn.Module()
+        attn.to_q = nn.Linear(dim, inner)
+        attn.to_k = nn.Linear(dim, inner)
+        attn.to_v = nn.Linear(dim, inner)
+        attn.norm_q = TorchRMSNorm(dim_head)
+        attn.norm_k = TorchRMSNorm(dim_head)
+        self.attn = attn
+        self.proj_out = nn.Linear(inner + mlp, dim)
+        self.heads, self.dim_head, self.text_len = heads, dim_head, text_len
+
+    def forward(self, x, temb, cos, sin, taps=None, prefix=''):
+        residual = x
+        tl = self.text_len
+        sh, sc, g = self.norm.linear(F.silu(temb)).chunk(3, dim=-1)
+        nx = self.ln(x) * (1 + sc[:, None]) + sh[:, None]
+        mlp = F.gelu(self.proj_mlp(nx), approximate='tanh')
+        q, k, v = self.attn.to_q(nx), self.attn.to_k(nx), self.attn.to_v(nx)
+        if taps is not None:
+            taps[f'{prefix}q'] = q[:, tl:]
+            taps[f'{prefix}k'] = k[:, tl:]
+            taps[f'{prefix}v'] = v[:, tl:]
+        b, s, inner = q.shape
+
+        def split(t):
+            return t.view(b, s, self.heads, self.dim_head).transpose(1, 2)
+
+        qh = flux_apply_rope(self.attn.norm_q(split(q)), cos, sin)
+        kh = flux_apply_rope(self.attn.norm_k(split(k)), cos, sin)
+        vh = split(v)
+        scores = qh @ kh.transpose(-1, -2) * self.dim_head ** -0.5
+        probs = scores.softmax(dim=-1)
+        if taps is not None:
+            taps[f'{prefix}cross-map'] = probs[:, :, tl:, :tl]
+            taps[f'{prefix}self-map'] = probs[:, :, tl:, tl:]
+        out = (probs @ vh).transpose(1, 2).reshape(b, s, inner)
+        if taps is not None:
+            taps[f'{prefix}attn-out'] = out[:, tl:]
+        h = torch.cat([out, mlp], dim=2)
+        x = residual + g[:, None] * self.proj_out(h)
+        if taps is not None:
+            taps[f'{prefix}out'] = x[:, tl:]
+        return x
+
+
+class FluxTransformer2DModel(nn.Module):
+    """Tiny-config transcription of the Flux forward (reference
+    transformer_flux.py:400-560): x/context embedders, combined
+    timestep+guidance+pooled conditioning, dual then single blocks,
+    AdaLayerNormContinuous output."""
+
+    def __init__(self, cfg: dict, text_len: int):
+        super().__init__()
+        self.cfg = cfg
+        dim = cfg['num_attention_heads'] * cfg['attention_head_dim']
+        self.x_embedder = nn.Linear(cfg['in_channels'], dim)
+        tte = nn.Module()
+        tte.timestep_embedder = TimestepEmbedding(256, dim)
+        tte.guidance_embedder = TimestepEmbedding(256, dim)
+        te = nn.Module()
+        te.linear_1 = nn.Linear(cfg['pooled_projection_dim'], dim)
+        te.linear_2 = nn.Linear(dim, dim)
+        tte.text_embedder = te
+        self.time_text_embed = tte
+        self.context_embedder = nn.Linear(cfg['joint_attention_dim'], dim)
+        heads, hd = cfg['num_attention_heads'], cfg['attention_head_dim']
+        self.transformer_blocks = nn.ModuleList([
+            FluxTransformerBlock(dim, heads, hd)
+            for _ in range(cfg['num_layers'])])
+        self.single_transformer_blocks = nn.ModuleList([
+            FluxSingleTransformerBlock(dim, heads, hd, text_len)
+            for _ in range(cfg['num_single_layers'])])
+        no = nn.Module()
+        no.linear = nn.Linear(dim, 2 * dim)
+        self.norm_out = no
+        self.ln = nn.LayerNorm(dim, eps=1e-6, elementwise_affine=False)
+        self.proj_out = nn.Linear(dim, cfg['in_channels'])
+        self.text_len = text_len
+
+    def forward(self, packed, timestep, ctx, pooled, cos, sin,
+                guidance=1000.0, taps=None):
+        b = packed.shape[0]
+        x = self.x_embedder(packed)
+        ts = torch.full((b,), float(timestep))
+        temb = self.time_text_embed.timestep_embedder(
+            timestep_embedding(ts, 256))
+        gg = torch.full((b,), float(guidance))
+        temb = temb + self.time_text_embed.guidance_embedder(
+            timestep_embedding(gg, 256))
+        temb = temb + self.time_text_embed.text_embedder.linear_2(
+            F.silu(self.time_text_embed.text_embedder.linear_1(pooled)))
+        ctx = self.context_embedder(ctx)
+        for i, blk in enumerate(self.transformer_blocks):
+            x, ctx = blk(x, ctx, temb, cos, sin, taps=taps,
+                         prefix=f'vit-block{i}-')
+        h = torch.cat([ctx, x], dim=1)
+        nd = len(self.transformer_blocks)
+        for j, blk in enumerate(self.single_transformer_blocks):
+            h = blk(h, temb, cos, sin, taps=taps,
+                    prefix=f'vit-block{nd + j}-')
+        h = h[:, self.text_len:]
+        scale, shift = self.norm_out.linear(F.silu(temb)).chunk(2, dim=-1)
+        h = self.ln(h) * (1 + scale[:, None]) + shift[:, None]
+        return self.proj_out(h)
+
+
+# ------------------------------------------------------- Hunyuan attention
+class HunyuanAttention(nn.Module):
+    """Transcribes HunyuanAttnStoreProcessor (reference
+    feature/components/attention.py:294-401): q/k/v taps pre-head-split,
+    per-head LayerNorm qk-norm, RoPE on q always and on k only for
+    self-attention, explicit softmax with per-head 'map' tap."""
+
+    def __init__(self, dim: int, heads: int, dim_head: int, is_cross: bool):
+        super().__init__()
+        self.to_q = nn.Linear(dim, dim)
+        self.to_k = nn.Linear(dim, dim)
+        self.to_v = nn.Linear(dim, dim)
+        self.norm_q = nn.LayerNorm(dim_head, eps=1e-6)
+        self.norm_k = nn.LayerNorm(dim_head, eps=1e-6)
+        self.to_out = nn.ModuleList([nn.Linear(dim, dim)])
+        self.heads, self.dim_head, self.is_cross = heads, dim_head, is_cross
+
+    def forward(self, x, ctx=None, cos=None, sin=None, taps=None, prefix=''):
+        ctx = x if ctx is None else ctx
+        q, k, v = self.to_q(x), self.to_k(ctx), self.to_v(ctx)
+        if taps is not None:
+            taps[f'{prefix}q'] = q
+            taps[f'{prefix}k'] = k
+            taps[f'{prefix}v'] = v
+        b = x.shape[0]
+
+        def split(t):
+            return t.view(b, -1, self.heads, self.dim_head).transpose(1, 2)
+
+        qh = self.norm_q(split(q))
+        kh = self.norm_k(split(k))
+        vh = split(v)
+        if cos is not None:
+            qh = flux_apply_rope(qh, cos, sin)
+            if not self.is_cross:
+                kh = flux_apply_rope(kh, cos, sin)
+        scores = qh @ kh.transpose(-1, -2) * self.dim_head ** -0.5
+        probs = scores.softmax(dim=-1)
+        if taps is not None:
+            taps[f'{prefix}map'] = probs
+        out = (probs @ vh).transpose(1, 2).reshape(b, -1,
+                                                   self.heads * self.dim_head)
+        return self.to_out[0](out)
