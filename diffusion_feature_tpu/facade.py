@@ -68,6 +68,7 @@ class FeatureExtractor:
         seed: int = 0,
         attn_store_sizes=None,   # override the size band (tests/tiny models)
         t5_8bit=None,            # int8 T5 weights; None -> auto (flux+weights)
+        transformer_8bit=None,   # int8 flux transformer; None -> auto
     ):
         self.spec: ModelSpec = get_model_spec(version)
         self.version = version
@@ -110,10 +111,23 @@ class FeatureExtractor:
         # are given (random-init mode keeps fp weights; zeros would be
         # degenerate), overridable for any T5 family via t5_8bit
         self._t5_8bit = t5_8bit
+        # Flux-dev's 12B bf16 weights (23.8 GiB) exceed a single v5e's HBM;
+        # int8 weight-only block projections (11.9 GiB) make the flagship
+        # DiT single-chip viable, mirroring the reference's quantize-to-fit
+        # stance (bnb-8bit T5 + 11-GiB device_map, models.py:150-172).
+        # Auto-on for flux with real weights UNLESS a mesh is given (tensor
+        # parallelism is the bf16 multi-chip path) or a LoRA must merge
+        # (LoRA deltas apply to full-precision kernels).
+        if transformer_8bit and self.spec.family != 'flux':
+            raise ValueError('transformer_8bit is only supported for flux '
+                             '(the only family whose bf16 weights exceed '
+                             'one chip\'s HBM)')
+        self._transformer_8bit = transformer_8bit
         self._rng = jax.random.PRNGKey(seed)
         self.store_idx = None           # background extraction
         self._background_feats = {}
         self._fn_cache = {}             # jitted step programs, per instance
+        self._offline_lora = offline_lora
 
         self._build_models(weights, seed, external_model)
         if offline_lora:
@@ -158,6 +172,15 @@ class FeatureExtractor:
                 import dataclasses as _dc
                 spec = self.spec = _dc.replace(
                     spec, t5=_dc.replace(spec.t5, quantize_int8=True))
+        if spec.family == 'flux':
+            use_int8 = (self._transformer_8bit
+                        if self._transformer_8bit is not None
+                        else (weights is not None and self.mesh is None
+                              and not self._offline_lora))
+            if use_int8:
+                import dataclasses as _dc
+                spec = self.spec = _dc.replace(
+                    spec, dit=_dc.replace(spec.dit, quantize_int8=True))
 
         rng = jax.random.PRNGKey(seed)
         sz = self.img_size
@@ -1208,7 +1231,22 @@ def _adapt_spec_to_checkpoint(spec: ModelSpec, weights: str) -> ModelSpec:
                         load_component_config(weights, dirs[i]), base))
                 else:
                     adapted.append(base)
-            updates['text_encoders'] = tuple(adapted)
+            if any(a is not b for a, b in zip(adapted, spec.text_encoders)):
+                updates['text_encoders'] = tuple(adapted)
+        if getattr(spec, 't5', None) is not None:
+            # T5 lives in text_encoder_2 when a CLIP/BERT encoder comes first
+            # (flux/hunyuan checkpoint layouts), else in text_encoder
+            t5_dir = ('text_encoder_2' if spec.family in ('flux', 'hunyuan')
+                      else 'text_encoder')
+            if os.path.exists(os.path.join(weights, t5_dir, 'config.json')):
+                from .models.t5 import T5Config
+                updates['t5'] = T5Config.from_hf_config(
+                    load_component_config(weights, t5_dir), spec.t5)
+        if getattr(spec, 'bert', None) is not None and os.path.exists(
+                os.path.join(weights, 'text_encoder', 'config.json')):
+            from .models.bert_text import BertConfig
+            updates['bert'] = BertConfig.from_hf_config(
+                load_component_config(weights, 'text_encoder'))
     except (OSError, ValueError, KeyError):
         return spec
     return dataclasses.replace(spec, **updates) if updates else spec

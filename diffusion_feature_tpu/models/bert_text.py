@@ -30,6 +30,23 @@ class BertConfig:
     layer_norm_eps: float = 1e-12
 
 
+def _bert_from_hf_config(d: dict) -> 'BertConfig':
+    """Adapt from a transformers BertConfig json (checkpoint text_encoder
+    dir)."""
+    return BertConfig(
+        vocab_size=d.get('vocab_size', 47020),
+        hidden_size=d.get('hidden_size', 1024),
+        num_hidden_layers=d.get('num_hidden_layers', 24),
+        num_attention_heads=d.get('num_attention_heads', 16),
+        intermediate_size=d.get('intermediate_size', 4096),
+        max_position_embeddings=d.get('max_position_embeddings', 512),
+        type_vocab_size=d.get('type_vocab_size', 2),
+        layer_norm_eps=d.get('layer_norm_eps', 1e-12),
+    )
+
+
+BertConfig.from_hf_config = staticmethod(_bert_from_hf_config)
+
 HUNYUAN_BERT = BertConfig()
 
 

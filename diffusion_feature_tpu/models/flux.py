@@ -40,6 +40,7 @@ from ..taps import EMPTY, TapSpec, sow_tap, child_id
 from ..ops.attention import (
     attention_fused_heads, attention_with_probs_heads, merge_heads, split_heads,
 )
+from ..ops.quant import Int8Dense
 from .layers import AttnStoreCfg, TimestepEmbedding, timestep_embedding
 
 
@@ -55,6 +56,12 @@ class FluxConfig:
     guidance_embeds: bool = True           # .1-dev is guidance-distilled
     axes_dims_rope: Tuple[int, ...] = (16, 56, 56)
     mlp_ratio: float = 4.0
+    # int8 weight-only block projections: Flux-dev is 12B params — bf16
+    # weights (23.8 GiB) exceed one v5e's 16-GiB HBM, so the single-chip
+    # path quantizes them (11.9 GiB) the way the reference fits its 11-GiB
+    # GPU budget with bnb-8bit T5 + device_map (components/models.py:150-172).
+    # Tensor parallelism (parallel/mesh.py) is the multi-chip alternative.
+    quantize_int8: bool = False
 
     @property
     def inner_dim(self) -> int:
@@ -76,6 +83,15 @@ def _flux_from_diffusers_config(d: dict) -> 'FluxConfig':
 
 
 FluxConfig.from_diffusers_config = staticmethod(_flux_from_diffusers_config)
+
+
+def _dense(cfg: 'FluxConfig', features: int, dtype, name: str,
+           use_bias: bool = True):
+    """Block-projection factory: int8 weight-only or plain Dense.  Diffusers
+    Flux linears all carry biases; the bias stays full precision."""
+    if cfg.quantize_int8:
+        return Int8Dense(features, use_bias=use_bias, dtype=dtype, name=name)
+    return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name)
 
 FLUX_DEV = FluxConfig()
 
@@ -175,9 +191,9 @@ class FluxJointAttention(nn.Module):
         heads, dim_head = cfg.num_attention_heads, cfg.attention_head_dim
         inner = cfg.inner_dim
 
-        q = nn.Dense(inner, dtype=self.dtype, name='to_q')(img)
-        k = nn.Dense(inner, dtype=self.dtype, name='to_k')(img)
-        v = nn.Dense(inner, dtype=self.dtype, name='to_v')(img)
+        q = _dense(cfg, inner, self.dtype, 'to_q')(img)
+        k = _dense(cfg, inner, self.dtype, 'to_k')(img)
+        v = _dense(cfg, inner, self.dtype, 'to_v')(img)
         # image-stream projections (reference components/attention.py:429-433)
         sow_tap(self, 'q', q)
         sow_tap(self, 'k', k)
@@ -187,9 +203,9 @@ class FluxJointAttention(nn.Module):
         qh = RMSNorm(dim_head, dtype=self.dtype, name='norm_q')(qh)
         kh = RMSNorm(dim_head, dtype=self.dtype, name='norm_k')(kh)
 
-        cq = nn.Dense(inner, dtype=self.dtype, name='add_q_proj')(ctx)
-        ck = nn.Dense(inner, dtype=self.dtype, name='add_k_proj')(ctx)
-        cv = nn.Dense(inner, dtype=self.dtype, name='add_v_proj')(ctx)
+        cq = _dense(cfg, inner, self.dtype, 'add_q_proj')(ctx)
+        ck = _dense(cfg, inner, self.dtype, 'add_k_proj')(ctx)
+        cv = _dense(cfg, inner, self.dtype, 'add_v_proj')(ctx)
         cqh, ckh, cvh = (split_heads(t, heads) for t in (cq, ck, cv))
         cqh = RMSNorm(dim_head, dtype=self.dtype, name='norm_added_q')(cqh)
         ckh = RMSNorm(dim_head, dtype=self.dtype, name='norm_added_k')(ckh)
@@ -225,9 +241,9 @@ class FluxJointAttention(nn.Module):
 
         out = merge_heads(out)
         ctx_out, img_out = out[:, :text_len], out[:, text_len:]
-        img_out = nn.Dense(inner, dtype=self.dtype, name='to_out_0')(img_out)
+        img_out = _dense(cfg, inner, self.dtype, 'to_out_0')(img_out)
         sow_tap(self, 'attn-out', img_out)
-        ctx_out = nn.Dense(inner, dtype=self.dtype, name='to_add_out')(ctx_out)
+        ctx_out = _dense(cfg, inner, self.dtype, 'to_add_out')(ctx_out)
         return img_out, ctx_out
 
 
@@ -248,9 +264,9 @@ class FluxSingleAttention(nn.Module):
         inner = cfg.inner_dim
         tl = self.text_len
 
-        q = nn.Dense(inner, dtype=self.dtype, name='to_q')(x)
-        k = nn.Dense(inner, dtype=self.dtype, name='to_k')(x)
-        v = nn.Dense(inner, dtype=self.dtype, name='to_v')(x)
+        q = _dense(cfg, inner, self.dtype, 'to_q')(x)
+        k = _dense(cfg, inner, self.dtype, 'to_k')(x)
+        v = _dense(cfg, inner, self.dtype, 'to_v')(x)
         # text-sliced taps (components/attention.py:435-439)
         sow_tap(self, 'q', q[:, tl:])
         sow_tap(self, 'k', k[:, tl:])
@@ -304,11 +320,11 @@ class FluxTransformerBlock(nn.Module):
         dim = cfg.inner_dim
         silu_t = nn.silu(temb)
 
-        mods = nn.Dense(6 * dim, dtype=self.dtype,
-                        name='norm1_linear')(silu_t)
+        mods = _dense(cfg, 6 * dim, self.dtype,
+                        'norm1_linear')(silu_t)
         sh_msa, sc_msa, g_msa, sh_mlp, sc_mlp, g_mlp = jnp.split(mods, 6, -1)
-        cmods = nn.Dense(6 * dim, dtype=self.dtype,
-                         name='norm1_context_linear')(silu_t)
+        cmods = _dense(cfg, 6 * dim, self.dtype,
+                         'norm1_context_linear')(silu_t)
         csh_msa, csc_msa, cg_msa, csh_mlp, csc_mlp, cg_mlp = jnp.split(cmods, 6, -1)
 
         ln = nn.LayerNorm(epsilon=1e-6, use_bias=False, use_scale=False,
@@ -350,10 +366,10 @@ class _FluxFeedForward(nn.Module):
     @nn.compact
     def __call__(self, x):
         inner = int(self.cfg.inner_dim * self.cfg.mlp_ratio)
-        h = nn.Dense(inner, dtype=self.dtype, name='net_0_proj')(x)
+        h = _dense(self.cfg, inner, self.dtype, 'net_0_proj')(x)
         h = nn.gelu(h, approximate=True)
         sow_tap(self, 'inner', h)
-        return nn.Dense(self.cfg.inner_dim, dtype=self.dtype, name='net_2')(h)
+        return _dense(self.cfg, self.cfg.inner_dim, self.dtype, 'net_2')(h)
 
 
 class FluxSingleTransformerBlock(nn.Module):
@@ -372,22 +388,22 @@ class FluxSingleTransformerBlock(nn.Module):
         mlp_dim = int(dim * cfg.mlp_ratio)
         residual = x
 
-        mods = nn.Dense(3 * dim, dtype=self.dtype, name='norm_linear')(
+        mods = _dense(cfg, 3 * dim, self.dtype, 'norm_linear')(
             nn.silu(temb))
         shift, scale, gate = jnp.split(mods, 3, -1)
         norm_x = nn.LayerNorm(epsilon=1e-6, use_bias=False, use_scale=False,
                               dtype=self.dtype)(x)
         norm_x = norm_x * (1 + scale[:, None]) + shift[:, None]
 
-        mlp = nn.gelu(nn.Dense(mlp_dim, dtype=self.dtype,
-                               name='proj_mlp')(norm_x), approximate=True)
+        mlp = nn.gelu(_dense(cfg, mlp_dim, self.dtype,
+                               'proj_mlp')(norm_x), approximate=True)
         attn_out = FluxSingleAttention(
             cfg=cfg, text_len=self.text_len, dtype=self.dtype, taps=self.taps,
             tap_name=self.tap_name, attn_store=self.attn_store,
             name='attn')(norm_x, cos, sin)
 
         h = jnp.concatenate([attn_out, mlp], axis=-1)
-        h = gate[:, None] * nn.Dense(dim, dtype=self.dtype, name='proj_out')(h)
+        h = gate[:, None] * _dense(cfg, dim, self.dtype, 'proj_out')(h)
         x = residual + h
         # text-sliced block output (transformer_flux.py:107-108)
         sow_tap(self, 'out', x[:, self.text_len:])
@@ -444,7 +460,7 @@ class FluxTransformer2D(nn.Module):
                       name='time_text_embed_text_embedder_linear_2')(nn.silu(pe))
         temb = temb + pe
 
-        ctx = nn.Dense(cfg.inner_dim, dtype=self.dtype, name='context_embedder')(
+        ctx = _dense(cfg, cfg.inner_dim, self.dtype, 'context_embedder')(
             encoder_hidden_states.astype(self.dtype))
 
         # RoPE tables: host-side fp64, static per (grid, text_len)

@@ -44,6 +44,28 @@ class T5Config:
     quantize_int8: bool = False
 
 
+def _t5_from_hf_config(d: dict, base: 'T5Config' = None) -> 'T5Config':
+    """Adapt from a transformers T5Config json (checkpoint text_encoder dir)
+    so fine-tunes/tiny checkpoints that deviate from the preset load exactly;
+    carries the base's quantize_int8 choice."""
+    return T5Config(
+        vocab_size=d.get('vocab_size', 32128),
+        d_model=d.get('d_model', 4096),
+        d_kv=d.get('d_kv', 64),
+        d_ff=d.get('d_ff', 10240),
+        num_layers=d.get('num_layers', 24),
+        num_heads=d.get('num_heads', 64),
+        relative_attention_num_buckets=d.get(
+            'relative_attention_num_buckets', 32),
+        relative_attention_max_distance=d.get(
+            'relative_attention_max_distance', 128),
+        layer_norm_epsilon=d.get('layer_norm_epsilon', 1e-6),
+        quantize_int8=base.quantize_int8 if base is not None else False,
+    )
+
+
+T5Config.from_hf_config = staticmethod(_t5_from_hf_config)
+
 T5_XXL = T5Config()
 
 

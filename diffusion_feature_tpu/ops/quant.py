@@ -36,14 +36,17 @@ def dequantize_int8(q, scale, dtype=jnp.float32):
 
 
 class Int8Dense(nn.Module):
-    """Drop-in for ``nn.Dense(use_bias=False)`` with int8 weights.
+    """Drop-in for ``nn.Dense`` with int8 weight-only quantization.
 
-    Params: ``kernel_q`` (in, out) int8 + ``scale`` (out,) f32.  At init the
-    kernel is zeros — this module only makes sense with converted real
-    weights (models/convert.py quantizes checkpoint tensors on the fly when
-    the template carries a kernel_q leaf).
+    Params: ``kernel_q`` (in, out) int8 + ``scale`` (out,) f32 (+ optional
+    ``bias``).  At init the kernel is zeros — this module only makes sense
+    with converted real weights (models/convert.py quantizes checkpoint
+    tensors on the fly when the template carries a kernel_q leaf).  The
+    dequantize (convert + per-channel scale) fuses into the dot's operand
+    pipeline under XLA, so only the int8 copy persists in HBM.
     """
     features: int
+    use_bias: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -54,4 +57,8 @@ class Int8Dense(nn.Module):
             (in_dim, self.features))
         scale = self.param('scale', nn.initializers.ones, (self.features,))
         w = kernel_q.astype(self.dtype) * scale.astype(self.dtype)[None, :]
-        return x @ w
+        y = x @ w
+        if self.use_bias:
+            bias = self.param('bias', nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(self.dtype)
+        return y

@@ -65,6 +65,11 @@ def build_parser():
                              '(qkv/ffn column, out-proj row) over tp devices; '
                              'needed when the model exceeds one chip\'s HBM '
                              '(e.g. Flux-12B bf16 on v5e)')
+    parser.add_argument('--transformer_8bit', type=lambda s: s == 'true',
+                        default=None, choices=(True, False), metavar='{true,false}',
+                        help='int8 weight-only flux transformer (fits 12B on '
+                             'one 16-GiB chip); default auto: on for flux '
+                             'with --weights and no mesh/LoRA')
     # debug
     parser.add_argument('--show_all_layers', action='store_true')
     return parser
@@ -108,6 +113,7 @@ def main(argv=None):
         attention=args.attention,
         img_size=args.img_size,
         weights=args.weights,
+        transformer_8bit=args.transformer_8bit,
     )
 
     # input list (reference :68-75)

@@ -4,10 +4,16 @@ multi-chip path via __graft_entry__.dryrun_multichip)."""
 
 import os
 
-os.environ['JAX_PLATFORMS'] = 'cpu'   # hard override: env pins axon (TPU)
-flags = os.environ.get('XLA_FLAGS', '')
-if '--xla_force_host_platform_device_count' not in flags:
-    os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()
+# KEEP_PLATFORM=1 runs the suite on the default JAX platform instead — the
+# on-chip smoke for the checkpoint-loading / quantization paths
+# (`KEEP_PLATFORM=1 pytest tests/test_checkpoint_load.py tests/test_quant.py`
+# drives convert->extract on the real TPU; see CLAUDE.md).
+_keep_platform = bool(os.environ.get('KEEP_PLATFORM'))
+if not _keep_platform:
+    os.environ['JAX_PLATFORMS'] = 'cpu'   # hard override: env pins axon (TPU)
+    flags = os.environ.get('XLA_FLAGS', '')
+    if '--xla_force_host_platform_device_count' not in flags:
+        os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()
 os.environ.setdefault('HF_HUB_OFFLINE', '1')
 
 import sys
@@ -17,7 +23,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 import pytest  # noqa: E402
 
-jax.config.update('jax_platforms', 'cpu')
+if not _keep_platform:
+    jax.config.update('jax_platforms', 'cpu')
 
 # This environment defaults fp32 matmuls to bf16 passes (TPU MXU semantics,
 # also emulated on the CPU backend).  Parity tests against torch need true

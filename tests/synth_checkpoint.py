@@ -1,0 +1,138 @@
+"""Synthesize diffusers-layout checkpoint tensors from our own param
+templates (reverse of models/convert.py's structural mapping).
+
+Used by the checkpoint-loading tests and the on-chip smoke
+(`KEEP_PLATFORM=1 pytest tests/test_checkpoint_load.py tests/test_quant.py`)
+to exercise the full load path — spec adaptation from config.json, torch
+state-dict conversion, on-the-fly int8 quantization — without real
+downloaded weights (zero-egress environment).
+
+The emitted keys are in convert.py's *normalized* form (no dots in the
+module path, '.weight'/'.bias' leaf), which `_normalize_key` maps back to
+the template path unchanged; tensors are transposed to torch conventions
+(Linear (O,I), Conv OIHW) so `_transpose_for` restores them.
+"""
+
+import numpy as np
+from flax import traverse_util
+
+
+def synth_state_from_template(template_params, seed=0, scale=0.05):
+    """Emit {torch-style key: np.ndarray} that convert_torch_state maps back
+    onto ``template_params`` exactly (random values, NOT the template's)."""
+    from diffusion_feature_tpu.models.convert import _normalize_key
+
+    rng = np.random.RandomState(seed)
+    flat = traverse_util.flatten_dict(template_params)
+    state = {}
+    for path, leaf in flat.items():
+        base = '_'.join(path[:-1])
+        kind = path[-1]
+        if kind == 'scale' and path[:-1] + ('kernel_q',) in flat:
+            continue  # int8 per-channel scale: filled by on-the-fly quantize
+        arr = rng.randn(*np.shape(leaf)).astype(np.float32) * scale
+        if kind == 'kernel':
+            arr = arr.transpose(3, 2, 0, 1) if arr.ndim == 4 else arr.T
+            name = 'weight'
+        elif kind == 'kernel_q':
+            arr = arr.T          # fp32 (O, I): quantized during conversion
+            name = 'weight'
+        elif kind == 'bias':
+            name = 'bias'
+        else:                    # 'scale' (norms), 'embedding', 'weight', ...
+            name = 'weight'
+        key = f'{base}.{name}' if base else name
+        # round-trip guard: the normalized key must resolve to this path
+        assert _normalize_key(base) == base, (path, base)
+        state[key] = arr
+    return state
+
+
+def write_flux_checkpoint(root, *, seed=0):
+    """Build a complete tiny-Flux diffusers checkpoint directory:
+    transformer + vae + text_encoder (CLIP) + text_encoder_2 (T5), each with
+    a config.json the facade adapts its specs from."""
+    import json
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    from safetensors.numpy import save_file
+
+    from diffusion_feature_tpu.models.flux import (
+        FluxTransformer2D, tiny_flux_config)
+    from diffusion_feature_tpu.models.vae import AutoencoderKL, tiny_vae_config
+    from diffusion_feature_tpu.models.t5 import T5EncoderModel, tiny_t5_config
+    from diffusion_feature_tpu.models.clip_text import (
+        CLIPTextModel, tiny_clip_config)
+
+    root = str(root)
+    for comp in ('transformer', 'vae', 'text_encoder', 'text_encoder_2'):
+        os.makedirs(os.path.join(root, comp), exist_ok=True)
+    r = jax.random.PRNGKey(0)
+
+    # transformer (diffusers FluxTransformer2DModel config schema)
+    fcfg = tiny_flux_config()
+    json.dump({
+        'in_channels': fcfg.in_channels,
+        'num_layers': fcfg.num_layers,
+        'num_single_layers': fcfg.num_single_layers,
+        'attention_head_dim': fcfg.attention_head_dim,
+        'num_attention_heads': fcfg.num_attention_heads,
+        'joint_attention_dim': fcfg.joint_attention_dim,
+        'pooled_projection_dim': fcfg.pooled_projection_dim,
+        'guidance_embeds': fcfg.guidance_embeds,
+        'axes_dims_rope': list(fcfg.axes_dims_rope),
+    }, open(os.path.join(root, 'transformer', 'config.json'), 'w'))
+    model = FluxTransformer2D(cfg=fcfg, grid_hw=(2, 2), text_len=8)
+    tmpl = model.init(
+        r, jnp.zeros((1, 4, fcfg.in_channels)), 500.0,
+        jnp.zeros((1, 8, fcfg.joint_attention_dim)),
+        jnp.zeros((1, fcfg.pooled_projection_dim)))['params']
+    save_file(synth_state_from_template(tmpl, seed=seed),
+              os.path.join(root, 'transformer',
+                           'diffusion_pytorch_model.safetensors'))
+
+    # vae (tiny; flux-style scaling/shift factors, 4 latent channels so the
+    # 2x2 packing yields the transformer's in_channels=16)
+    vcfg = tiny_vae_config(latent_channels=4)
+    json.dump({'in_channels': 3, 'out_channels': 3,
+               'latent_channels': vcfg.latent_channels,
+               'block_out_channels': list(vcfg.block_out_channels),
+               'layers_per_block': vcfg.layers_per_block,
+               'scaling_factor': 0.3611, 'shift_factor': 0.1159,
+               'use_quant_conv': True},
+              open(os.path.join(root, 'vae', 'config.json'), 'w'))
+    vae = AutoencoderKL(cfg=vcfg)
+    vtmpl = vae.init(r, jnp.zeros((1, 3, 16, 16)),
+                     method=AutoencoderKL.full_pass)['params']
+    save_file(synth_state_from_template(vtmpl, seed=seed + 1),
+              os.path.join(root, 'vae',
+                           'diffusion_pytorch_model.safetensors'))
+
+    # CLIP text encoder (transformers CLIPTextConfig schema)
+    ccfg = tiny_clip_config()
+    json.dump({'vocab_size': ccfg.vocab_size, 'hidden_size': ccfg.hidden_size,
+               'intermediate_size': ccfg.intermediate_size,
+               'num_hidden_layers': ccfg.num_hidden_layers,
+               'num_attention_heads': ccfg.num_attention_heads,
+               'max_position_embeddings': ccfg.max_position_embeddings,
+               'hidden_act': 'quick_gelu',
+               'architectures': ['CLIPTextModel']},
+              open(os.path.join(root, 'text_encoder', 'config.json'), 'w'))
+    clip = CLIPTextModel(cfg=ccfg)
+    ctmpl = clip.init(r, jnp.zeros((1, 77), jnp.int32))['params']
+    save_file(synth_state_from_template(ctmpl, seed=seed + 2),
+              os.path.join(root, 'text_encoder', 'model.safetensors'))
+
+    # T5 encoder (transformers T5Config schema)
+    tcfg = tiny_t5_config()
+    json.dump({'vocab_size': tcfg.vocab_size, 'd_model': tcfg.d_model,
+               'd_kv': tcfg.d_kv, 'd_ff': tcfg.d_ff,
+               'num_layers': tcfg.num_layers, 'num_heads': tcfg.num_heads},
+              open(os.path.join(root, 'text_encoder_2', 'config.json'), 'w'))
+    t5 = T5EncoderModel(cfg=tcfg)
+    ttmpl = t5.init(r, jnp.zeros((1, 8), jnp.int32))['params']
+    save_file(synth_state_from_template(ttmpl, seed=seed + 3),
+              os.path.join(root, 'text_encoder_2', 'model.safetensors'))
+    return root

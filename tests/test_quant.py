@@ -94,6 +94,162 @@ class TestQuantizedT5:
         assert b8 < b32 * 0.3, (b8, b32)
 
 
+def _quantize_fp_tree(fp_params, template):
+    """Walk the int8 template; wherever a 'kernel_q' leaf sits, quantize the
+    fp32 'kernel' at the same path (what models/convert.py does on the fly
+    for checkpoint tensors)."""
+    from flax import traverse_util
+    flat_fp = traverse_util.flatten_dict(fp_params)
+    out = dict(traverse_util.flatten_dict(template))
+    for path in out:
+        if path[-1] == 'kernel_q':
+            k = np.asarray(flat_fp[path[:-1] + ('kernel',)], np.float32)
+            q, s = quantize_int8(k)
+            out[path] = jnp.asarray(q)
+            out[path[:-1] + ('scale',)] = jnp.asarray(s)
+        elif path in flat_fp:
+            out[path] = flat_fp[path]
+    return traverse_util.unflatten_dict(out)
+
+
+class TestQuantizedFluxTransformer:
+    """int8 weight-only flux block projections: the single-chip path for the
+    12B flagship (bf16 23.8 GiB > one v5e's HBM; int8 halves it)."""
+
+    def _models(self):
+        import dataclasses
+        from diffusion_feature_tpu.models.flux import (
+            FluxTransformer2D, tiny_flux_config)
+        cfg32 = tiny_flux_config()
+        cfg8 = dataclasses.replace(cfg32, quantize_int8=True)
+        kw = dict(grid_hw=(4, 4), text_len=8)
+        return (FluxTransformer2D(cfg=cfg32, **kw),
+                FluxTransformer2D(cfg=cfg8, **kw), cfg32)
+
+    def test_quantized_forward_close_to_fp32(self):
+        m32, m8, cfg = self._models()
+        rng = jax.random.PRNGKey(0)
+        packed = jax.random.normal(rng, (2, 16, cfg.in_channels))
+        ctx = jax.random.normal(jax.random.fold_in(rng, 1),
+                                (2, 8, cfg.joint_attention_dim))
+        pooled = jax.random.normal(jax.random.fold_in(rng, 2),
+                                   (2, cfg.pooled_projection_dim))
+        p32 = m32.init(rng, packed, 500.0, ctx, pooled)['params']
+        template = m8.init(rng, packed, 500.0, ctx, pooled)['params']
+        p8 = _quantize_fp_tree(p32, template)
+        # block projections really are int8
+        q = p8['transformer_blocks_0']['attn']['to_q']
+        assert q['kernel_q'].dtype == jnp.int8 and 'bias' in q
+        out32 = np.asarray(m32.apply({'params': p32}, packed, 500.0, ctx,
+                                     pooled), np.float32)
+        out8 = np.asarray(m8.apply({'params': p8}, packed, 500.0, ctx,
+                                   pooled), np.float32)
+        cos = (out32 * out8).sum() / (
+            np.linalg.norm(out32) * np.linalg.norm(out8) + 1e-12)
+        assert cos > 0.99, f'cosine {cos}'
+
+    def test_taps_survive_quantization(self):
+        from diffusion_feature_tpu.taps import TapSpec, flatten_taps
+        m32, m8, cfg = self._models()
+        taps = TapSpec.from_config({'vit-block0-out': True,
+                                    'vit-block0-q': True,
+                                    'vit-block2-out': True})
+        m32 = m32.clone(taps=taps)
+        m8 = m8.clone(taps=taps)
+        rng = jax.random.PRNGKey(3)
+        packed = jax.random.normal(rng, (1, 16, cfg.in_channels))
+        ctx = jax.random.normal(rng, (1, 8, cfg.joint_attention_dim))
+        pooled = jax.random.normal(rng, (1, cfg.pooled_projection_dim))
+        p32 = m32.init(rng, packed, 500.0, ctx, pooled)['params']
+        template = m8.init(rng, packed, 500.0, ctx, pooled)['params']
+        p8 = _quantize_fp_tree(p32, template)
+        _, st32 = m32.apply({'params': p32}, packed, 500.0, ctx, pooled,
+                            mutable=['taps'])
+        _, st8 = m8.apply({'params': p8}, packed, 500.0, ctx, pooled,
+                          mutable=['taps'])
+        f32 = flatten_taps(st32['taps'])
+        f8 = flatten_taps(st8['taps'])
+        assert set(f32) == set(f8) == {'vit-block0-out', 'vit-block0-q',
+                                       'vit-block2-out'}
+        for k in f32:
+            a = np.asarray(f32[k], np.float32).ravel()
+            b = np.asarray(f8[k], np.float32).ravel()
+            cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+            assert cos > 0.99, f'{k}: cosine {cos}'
+
+
+class TestFluxCheckpointQuant:
+    """Full tiny-Flux checkpoint -> facade load: spec adaptation from every
+    component's config.json, torch-state conversion with on-the-fly int8
+    quantization (auto for flux+weights), and extraction parity between the
+    int8 and fp paths."""
+
+    @pytest.fixture(scope='class')
+    def flux_ckpt(self, tmp_path_factory):
+        from synth_checkpoint import write_flux_checkpoint
+        return write_flux_checkpoint(tmp_path_factory.mktemp('flux_ckpt'))
+
+    def test_auto_int8_and_parity_with_fp(self, flux_ckpt):
+        from PIL import Image
+        from diffusion_feature_tpu import FeatureExtractor
+        kw = dict(layer={'vit-block0-out': True, 'vit-block2-out': True},
+                  version='flux', img_size=32, dtype='float32',
+                  weights=flux_ckpt)
+        fe8 = FeatureExtractor(**kw)
+        # adapted everywhere: tiny dit/t5/clip/vae from the checkpoint configs
+        assert fe8.spec.dit.num_layers == 2
+        assert fe8.spec.t5.d_model == 32
+        assert fe8.spec.text_encoders[0].hidden_size == 32
+        # int8 auto-on (flux + weights + no mesh/LoRA), both transformer & T5
+        assert fe8.spec.dit.quantize_int8 is True
+        assert fe8.spec.t5.quantize_int8 is True
+        q = fe8.params['unet']['transformer_blocks_0']['attn']['to_q']
+        assert q['kernel_q'].dtype == jnp.int8
+
+        fe32 = FeatureExtractor(transformer_8bit=False, t5_8bit=False, **kw)
+        assert fe32.spec.dit.quantize_int8 is False
+
+        img = [Image.fromarray((np.random.RandomState(0).rand(32, 32, 3)
+                                * 255).astype('uint8'))]
+        fe8._rng = jax.random.PRNGKey(7)
+        fe32._rng = jax.random.PRNGKey(7)
+        f8 = fe8.extract(fe8.encode_prompt('a dog'), 1, img, t=500)
+        f32 = fe32.extract(fe32.encode_prompt('a dog'), 1, img, t=500)
+        assert set(f8) == set(f32) == {'vit-block0-out', 'vit-block2-out'}
+        for k in f8:
+            a = np.asarray(f32[k], np.float32).ravel()
+            b = np.asarray(f8[k], np.float32).ravel()
+            assert np.isfinite(b).all(), k
+            cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b)
+                                   + 1e-12)
+            assert cos > 0.98, f'{k}: cosine {cos}'
+
+
+class TestFacadeFluxQuant:
+    def test_transformer_8bit_flag_forces_quantized_modules(self):
+        from diffusion_feature_tpu import FeatureExtractor
+        fe = FeatureExtractor(layer={'vit-block0-out': True},
+                              version='test-flux', img_size=32,
+                              dtype='float32', transformer_8bit=True)
+        assert fe.spec.dit.quantize_int8 is True
+        flat = jax.tree_util.tree_leaves_with_path(fe.params['unet'])
+        assert any('kernel_q' in jax.tree_util.keystr(kp) for kp, _ in flat)
+
+    def test_random_init_defaults_to_fp(self):
+        from diffusion_feature_tpu import FeatureExtractor
+        fe = FeatureExtractor(layer={'vit-block0-out': True},
+                              version='test-flux', img_size=32,
+                              dtype='float32')
+        assert fe.spec.dit.quantize_int8 is False
+
+    def test_rejected_for_non_flux(self):
+        from diffusion_feature_tpu import FeatureExtractor
+        with pytest.raises(ValueError, match='flux'):
+            FeatureExtractor(layer={'unet-out': True}, version='test-sd',
+                             img_size=32, dtype='float32',
+                             transformer_8bit=True)
+
+
 class TestFacadeT5Quant:
     def test_flux_random_init_stays_fp(self):
         from diffusion_feature_tpu import FeatureExtractor
