@@ -21,8 +21,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 512
-DEFAULT_BLOCK_K = 512
+DEFAULT_BLOCK_Q = 1024
+DEFAULT_BLOCK_K = 1024
 _LANE = 128
 NEG_INF = -1e30
 
@@ -46,13 +46,15 @@ def _pad_to(x, multiple, axis):
     return jnp.pad(x, pad)
 
 
-def is_flash_compatible(q_shape, k_shape, min_seq: int = 2048) -> bool:
+def is_flash_compatible(q_shape, k_shape, min_seq: int = 1024) -> bool:
     """Use the kernel only where it wins: long self-attention with
     block-aligned sequence lengths (SD spatial sequences are powers of two).
 
-    Threshold measured on v5e: at seq 4096 the kernel beats XLA's fused
-    einsum-softmax by ~23% (14.4 vs 18.6 ms at b8h10d64); at seq 1024 XLA
-    is ~9% faster, so shorter sequences stay on the XLA path."""
+    Thresholds measured on v5e with 1024x1024 blocks: seq 4096 b8h10d64
+    7.9 ms vs 18.6 ms XLA (2.3x); seq 1024 b16h10d64 1.89 vs 2.69 ms
+    (1.4x); at seq 256 per-program overhead makes the kernel LOSE
+    (1.08 vs 0.66 ms b16h20d64), so short sequences stay on the XLA
+    path."""
     *_, sq, d = q_shape
     sk = k_shape[-2]
     return (
@@ -272,6 +274,117 @@ def flash_attention_with_lse(
 
     return (out[:, :, :d].reshape(b, h, sq, d),
             lse[:, :, 0].reshape(b, h, sq))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _short_diff(q, k, v, scale):
+    return short_attention(q, k, v, scale=scale)
+
+
+def _short_diff_fwd(q, k, v, scale):
+    return short_attention(q, k, v, scale=scale), (q, k, v)
+
+
+def _short_diff_bwd(scale, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda a, b, c: _reference_attention(a, b, c, scale),
+                     q, k, v)
+    return vjp(g)
+
+
+_short_diff.defvjp(_short_diff_fwd, _short_diff_bwd)
+
+
+def short_attention_diff(q, k, v, *, scale):
+    """short_attention with an einsum-softmax backward (same contract as
+    flash_attention: Pallas forward, XLA VJP for train_unet/prompt tuning)."""
+    return _short_diff(q, k, v, scale)
+
+
+def _short_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, sk_true, heads):
+    """Direct-softmax attention for short sequences: several heads per
+    program (amortizes Mosaic per-program overhead, the reason the blockwise
+    flash kernel loses below seq ~512), whole K sequence in VMEM, fp32
+    math.  Zero-padded key columns are masked to -inf so any Sk (e.g. the
+    77-token text cross-attention) is exact."""
+    sq = q_ref.shape[1]
+    sk_pad = k_ref.shape[1]
+    need_mask = sk_true != sk_pad
+    if need_mask:
+        col = jax.lax.broadcasted_iota(jnp.int32, (sq, sk_pad), 1)
+    for g in range(heads):
+        q = q_ref[g].astype(jnp.float32)
+        k = k_ref[g].astype(jnp.float32)
+        v = v_ref[g].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if need_mask:
+            s = jnp.where(col < sk_true, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        out = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        o_ref[g] = (out / jnp.sum(p, axis=-1, keepdims=True)).astype(o_ref.dtype)
+
+
+def is_short_attn_compatible(q_shape, k_shape, max_seq: int = 512) -> bool:
+    """Shape gate for ``short_attention``: Sq a lane multiple up to
+    ``max_seq`` (whole scores tile lives in VMEM), any Sk (padded+masked).
+
+    NOT wired into the auto dispatch: measured on a real v5e (b16 h20 d64)
+    the kernel LOSES to XLA's fused einsum-softmax at these sizes —
+    459 vs 355 us at 256x256 self, 387 vs 321 us at 256x77 cross — the
+    sequential per-head dot chain can't beat XLA's batched matmul once the
+    score tensor is small enough to stay cheap.  Kept (with tests) as the
+    measured record and for callers that need a no-score-materialization
+    guarantee at short lengths regardless of speed."""
+    *_, sq, d = q_shape
+    sk = k_shape[-2]
+    return (8 <= sq <= max_seq and sq % 128 == 0
+            and sk <= max_seq and d <= 256)
+
+
+@functools.partial(jax.jit, static_argnames=('scale', 'group'))
+def short_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    scale: float,
+    group: int = 8,
+) -> jnp.ndarray:
+    """(B, H, Sq, D) x (B, H, Sk, D) -> (B, H, Sq, D) for short sequences,
+    never writing the score matrix to HBM (the XLA path materializes fp32
+    scores — the measured bottleneck at the SDXL seq-256 bands)."""
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    bh = b * h
+    while group > 1 and bh % group != 0:
+        group //= 2
+    d_pad = max(_LANE, ((d + _LANE - 1) // _LANE) * _LANE)
+    sk_pad = max(_LANE, ((sk + _LANE - 1) // _LANE) * _LANE)
+    qf = _pad_to(q.reshape(bh, sq, d), d_pad, axis=2)
+    kf = _pad_to(_pad_to(k.reshape(bh, sk, d), d_pad, axis=2), sk_pad, axis=1)
+    vf = _pad_to(_pad_to(v.reshape(bh, sk, d), d_pad, axis=2), sk_pad, axis=1)
+
+    out = pl.pallas_call(
+        functools.partial(_short_attn_kernel, scale=scale, sk_true=sk,
+                          heads=group),
+        grid=(bh // group,),
+        in_specs=[
+            pl.BlockSpec((group, sq, d_pad), lambda i: (i, 0, 0)),
+            pl.BlockSpec((group, sk_pad, d_pad), lambda i: (i, 0, 0)),
+            pl.BlockSpec((group, sk_pad, d_pad), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((group, sq, d_pad), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, sq, d_pad), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel',),
+        ),
+        interpret=_use_interpret(),
+    )(qf, kf, vf)
+    return out[:, :, :d].reshape(b, h, sq, d)
 
 
 def _headmean_kernel(q_ref, k_ref, lse_ref, o_ref, *, scale, heads):

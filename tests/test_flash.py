@@ -107,3 +107,70 @@ class TestOddSequences:
         ref, _ = attention_with_probs_heads(q, k, v, scale=scale)
         assert np.allclose(np.asarray(out), np.asarray(ref),
                            rtol=1e-4, atol=1e-4)
+
+
+class TestShortAttention:
+    """Multi-head-per-program short-seq kernel (covers the SDXL seq-256
+    bands and the padded+masked 77-token cross-attention)."""
+
+    def test_matches_explicit_self(self):
+        from diffusion_feature_tpu.ops.flash_attention import short_attention
+        q, k, v = make_qkv(b=2, h=4, sq=256, sk=256, d=32, seed=1)
+        scale = q.shape[-1] ** -0.5
+        out_s = short_attention(q, k, v, scale=scale)
+        out_e, _ = attention_with_probs_heads(q, k, v, scale=scale)
+        assert np.allclose(np.asarray(out_s), np.asarray(out_e),
+                           rtol=1e-4, atol=1e-4)
+
+    def test_matches_explicit_padded_cross(self):
+        """Sk=77 pads to 128; masked columns must not leak probability."""
+        from diffusion_feature_tpu.ops.flash_attention import short_attention
+        q, k, v = make_qkv(b=2, h=4, sq=256, sk=77, d=32, seed=2)
+        scale = q.shape[-1] ** -0.5
+        out_s = short_attention(q, k, v, scale=scale)
+        out_e, _ = attention_with_probs_heads(q, k, v, scale=scale)
+        assert np.allclose(np.asarray(out_s), np.asarray(out_e),
+                           rtol=1e-4, atol=1e-4)
+
+    def test_group_falls_back_to_divisor(self):
+        """b*h=6 is not divisible by the default group of 8."""
+        from diffusion_feature_tpu.ops.flash_attention import short_attention
+        q, k, v = make_qkv(b=3, h=2, sq=128, sk=128, d=16, seed=3)
+        scale = q.shape[-1] ** -0.5
+        out_s = short_attention(q, k, v, scale=scale)
+        out_e, _ = attention_with_probs_heads(q, k, v, scale=scale)
+        assert np.allclose(np.asarray(out_s), np.asarray(out_e),
+                           rtol=1e-4, atol=1e-4)
+
+    def test_compat_gate(self):
+        from diffusion_feature_tpu.ops.flash_attention import (
+            is_flash_compatible, is_short_attn_compatible)
+        # short path covers exactly what flash rejects at the SD bands
+        assert is_short_attn_compatible((16, 20, 256, 64), (16, 20, 256, 64))
+        assert is_short_attn_compatible((16, 20, 256, 64), (16, 20, 77, 64))
+        assert not is_flash_compatible((16, 20, 256, 64), (16, 20, 256, 64))
+        # seq 1024 belongs to flash, not the short path
+        assert is_flash_compatible((16, 10, 1024, 64), (16, 10, 1024, 64))
+        assert not is_short_attn_compatible((16, 10, 1024, 64),
+                                            (16, 10, 1024, 64))
+        # tiny test-model sequences stay on XLA
+        assert not is_short_attn_compatible((1, 2, 64, 32), (1, 2, 64, 32))
+
+    def test_grad_through_short(self):
+        from diffusion_feature_tpu.ops.flash_attention import (
+            short_attention_diff)
+        q, k, v = make_qkv(b=1, h=2, sq=128, sk=128, d=16, seed=4)
+        scale = q.shape[-1] ** -0.5
+
+        def loss_kernel(q, k, v):
+            return jnp.sum(short_attention_diff(q, k, v, scale=scale) ** 2)
+
+        def loss_ref(q, k, v):
+            out, _ = attention_with_probs_heads(q, k, v, scale=scale)
+            return jnp.sum(out ** 2)
+
+        gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gk, gr):
+            assert np.allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-3, atol=1e-3)
