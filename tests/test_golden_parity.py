@@ -323,6 +323,41 @@ class TestUNetGolden:
         assert_close(out, ref_out, label='xl unet-out', atol=2e-4)
 
 
+class TestControlNetGolden:
+    def test_residuals_match_torch(self):
+        """ControlNet encoder copy + zero-conv residual heads vs the torch
+        transcription (reference wraps diffusers ControlNetModel,
+        feature/components/controlnet.py:13-24; residual injection at
+        feature/diffusion_feature.py:446-465).  Random weights stand in for
+        the zero-init so the projections are exercised."""
+        from diffusion_feature_tpu.models.controlnet import ControlNetModel
+        from diffusion_feature_tpu.models.unet2d import tiny_unet_config
+        cfg = tiny_unet_config(cross_dim=32)
+        ref = tr.ControlNetModel(dict(TINY_CFG), cond_blocks=(8, 16, 16, 32))
+        ours = ControlNetModel(cfg=cfg, cond_embed_channels=(8, 16, 16, 32))
+
+        rng = np.random.RandomState(12)
+        sample = rng.randn(2, 4, 16, 16).astype(np.float32)
+        ctx = rng.randn(2, 7, 32).astype(np.float32)
+        cond = rng.rand(2, 3, 128, 128).astype(np.float32)
+        template = ours.init(jax.random.PRNGKey(0), jnp.asarray(sample), 50.0,
+                             jnp.asarray(ctx), jnp.asarray(cond),
+                             0.75)['params']
+        params = convert(ref, template)
+        down_o, mid_o = ours.apply({'params': params}, jnp.asarray(sample),
+                                   50.0, jnp.asarray(ctx), jnp.asarray(cond),
+                                   0.75)
+        down_r, mid_r = ref(torch.tensor(sample), 50.0, torch.tensor(ctx),
+                            torch.tensor(cond), scale=0.75)
+        assert len(down_o) == len(down_r)
+        for i, (a, b) in enumerate(zip(down_o, down_r)):
+            # ours returns NHWC (the U-Net's internal skip layout)
+            assert_close(jnp.transpose(a, (0, 3, 1, 2)), b, atol=2e-4,
+                         label=f'down residual {i}')
+        assert_close(jnp.transpose(mid_o, (0, 3, 1, 2)), mid_r, atol=2e-4,
+                     label='mid residual')
+
+
 class TestVAEGolden:
     def test_encoder_posterior(self):
         """Encoder + quant_conv moments, then the DiagonalGaussian sample and
@@ -359,6 +394,37 @@ class TestVAEGolden:
         z_ours = (mean_o + np.exp(0.5 * np.clip(logvar_o, -30, 20)) * noise) \
             * cfg.scaling_factor
         np.testing.assert_allclose(z_ours, z_ref, atol=2e-4, rtol=1e-4)
+
+
+class TestVAEDecoderGolden:
+    def test_decode_matches_torch(self):
+        """post_quant_conv + decoder vs the torch transcription — the
+        'vae-out' pseudo-layer runs scheduler.step + vae.decode
+        (feature/diffusion_feature.py:477-485), so decoder numerics gate
+        that feature id."""
+        from diffusion_feature_tpu.models.vae import (
+            AutoencoderKL, tiny_vae_config)
+        cfg = tiny_vae_config()
+        tcfg = dict(in_channels=3, out_channels=3,
+                    latent_channels=cfg.latent_channels,
+                    block_out_channels=cfg.block_out_channels,
+                    layers_per_block=cfg.layers_per_block)
+        ref = tr.AutoencoderKLDecoder(tcfg)
+        ours = AutoencoderKL(cfg=cfg)
+        z = np.random.RandomState(13).randn(1, cfg.latent_channels, 8, 8
+                                            ).astype(np.float32)
+        full = ours.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 3, 32, 32), jnp.float32),
+                         method=AutoencoderKL.full_pass)['params']
+        sub = {'decoder': full['decoder'],
+               'post_quant_conv': full['post_quant_conv']}
+        sub = convert(ref, sub)
+        params = dict(full)
+        params.update(sub)
+        img = ours.apply({'params': params}, jnp.asarray(z),
+                         method=AutoencoderKL.decode)
+        ref_img = ref(torch.tensor(z))
+        assert_close(img, ref_img, label='vae decode', atol=2e-4)
 
 
 class TestSchedulerGolden:
@@ -492,6 +558,57 @@ class TestFullExtractStep:
         assert_close(flat['up-level1-repeat0-res-out'],
                      ref_taps['up-level1-repeat0-res-out'],
                      label='extract-step tap', atol=5e-4)
+
+
+class TestIFGolden:
+    def test_full_if_unet_every_tap(self):
+        """DeepFloyd IF stage-I U-Net: scale-shift resnets, added-KV
+        attention, attention-pooled text embedding, resnet down/upsamplers
+        (whose taps carry the downsampler/upsampler prefix — the IF quirk
+        documented in models/unet_if.py).  Oracle is the test-local
+        transcription of the IF-I-L UNet2DCondition configuration
+        (reference zoo entry feature/components/models.py:119-133)."""
+        from diffusion_feature_tpu.models.unet_if import IFUNet, tiny_if_config
+        cfg = tiny_if_config()
+        tcfg = dict(
+            in_channels=cfg.in_channels, out_channels=cfg.out_channels,
+            block_out_channels=cfg.block_out_channels,
+            down_block_types=cfg.down_block_types,
+            up_block_types=cfg.up_block_types,
+            layers_per_block=cfg.layers_per_block,
+            attention_head_dim=cfg.attention_head_dim,
+            cross_attention_dim=cfg.cross_attention_dim,
+            encoder_hid_dim=cfg.encoder_hid_dim,
+            addition_embed_type_num_heads=cfg.addition_embed_type_num_heads)
+        ref = tr.IFUNet(tcfg)
+        ours = IFUNet(cfg=cfg, taps=ALL)
+
+        rng = np.random.RandomState(14)
+        sample = rng.randn(2, 3, 32, 32).astype(np.float32)
+        text = rng.randn(2, 6, cfg.encoder_hid_dim).astype(np.float32)
+        template = ours.init(jax.random.PRNGKey(0), jnp.asarray(sample), 50.0,
+                             jnp.asarray(text))['params']
+        params = convert(ref, template)
+        out, tap_state = ours.apply({'params': params}, jnp.asarray(sample),
+                                    50.0, jnp.asarray(text), mutable=['taps'])
+        ref_taps = {}
+        ref_out = ref(torch.tensor(sample), 50.0, torch.tensor(text),
+                      taps=ref_taps)
+        assert_close(out, ref_out, label='if unet-out', atol=3e-4)
+        flat = flatten_taps(tap_state['taps'])
+        for expected in ('down-level0-repeat0-res-increment',
+                         'down-level0-downsampler-out',
+                         'mid-repeat0-res-out',
+                         'up-level0-upsampler-increment',
+                         'unet-in', 'unet-after-conv-in', 'unet-out'):
+            assert expected in flat, f'missing tap {expected}'
+        # IF quirk: no attention taps ever fire (AttnAddedKVProcessor has no
+        # gather calls in the overlay)
+        assert not any('vit' in k or '-q' in k for k in flat)
+        # 1e-3: the scale-shift GELU stack accumulates slightly more fp32
+        # noise than the SD resnets (8/32k elements past 3e-4); still far
+        # below any transpose/eps/layout bug signature
+        compare_taps(flat, ref_taps, atol=1e-3)
 
 
 class TestPixArtGolden:
@@ -643,6 +760,70 @@ class TestFluxGolden:
         flat = flatten_taps(tap_state['taps'])
         np.testing.assert_array_equal(np.asarray(flat['vit-block0-out']),
                                       np.asarray(flat['vit-block0-norm-out']))
+
+
+class TestHunyuanFullGolden:
+    def test_full_hunyuan_every_tap(self):
+        """Full HunyuanDiT2D forward vs the torch transcription: patch
+        embed, pooled-T5/meta-size/style conditioning, BERT+projected-T5
+        context with the learned padding row on masked positions, U-ViT
+        long skips, AdaLN-shift blocks, unpatchify — plus every attention
+        and ffn tap (the block-level 'out' tap intentionally never fires,
+        models/hunyuan.py docstring)."""
+        from diffusion_feature_tpu.models.hunyuan import (
+            HunyuanDiT2D, tiny_hunyuan_config, hunyuan_rope)
+        cfg = tiny_hunyuan_config()
+        tcfg = dict(
+            patch_size=cfg.patch_size, in_channels=cfg.in_channels,
+            out_channels=cfg.out_channels, hidden_size=cfg.hidden_size,
+            num_layers=cfg.num_layers,
+            num_attention_heads=cfg.num_attention_heads,
+            cross_attention_dim=cfg.cross_attention_dim,
+            cross_attention_dim_t5=cfg.cross_attention_dim_t5,
+            pooled_projection_dim=cfg.pooled_projection_dim,
+            text_len=cfg.text_len, text_len_t5=cfg.text_len_t5,
+            mlp_ratio=cfg.mlp_ratio, norm_eps=cfg.norm_eps)
+        ref = tr.HunyuanDiT2DModel(tcfg)
+        ours = HunyuanDiT2D(cfg=cfg, taps=ALL)
+
+        rng = np.random.RandomState(15)
+        sample = rng.randn(2, 4, 16, 16).astype(np.float32)
+        bert = rng.randn(2, cfg.text_len, cfg.cross_attention_dim
+                         ).astype(np.float32)
+        t5 = rng.randn(2, cfg.text_len_t5, cfg.cross_attention_dim_t5
+                       ).astype(np.float32)
+        bert_mask = np.ones((2, cfg.text_len), np.int32)
+        bert_mask[:, -3:] = 0          # exercise the padding-row replacement
+        t5_mask = np.ones((2, cfg.text_len_t5), np.int32)
+        t5_mask[1, -2:] = 0
+
+        template = ours.init(
+            jax.random.PRNGKey(0), jnp.asarray(sample), 50.0,
+            jnp.asarray(bert), jnp.asarray(bert_mask), jnp.asarray(t5),
+            jnp.asarray(t5_mask))['params']
+        params = convert(ref, template)
+        out, tap_state = ours.apply(
+            {'params': params}, jnp.asarray(sample), 50.0, jnp.asarray(bert),
+            jnp.asarray(bert_mask), jnp.asarray(t5), jnp.asarray(t5_mask),
+            mutable=['taps', 'attn_store'])
+
+        gh = sample.shape[2] // cfg.patch_size
+        cos_np, sin_np = hunyuan_rope(gh, cfg.head_dim, cfg.rope_base_size)
+        ref_taps = {}
+        ref_out = ref(torch.tensor(sample), 50.0, torch.tensor(bert),
+                      torch.tensor(t5), torch.tensor(cos_np),
+                      torch.tensor(sin_np),
+                      bert_mask=torch.tensor(bert_mask, dtype=torch.float32),
+                      t5_mask=torch.tensor(t5_mask, dtype=torch.float32),
+                      taps=ref_taps)
+        assert_close(out, ref_out, label='hunyuan out', atol=1e-3)
+        flat = flatten_taps(tap_state['taps'])
+        for expected in ('vit-block0-self-q', 'vit-block0-cross-map',
+                         'vit-block0-ffn-inner', 'vit-block3-self-map'):
+            assert expected in flat, f'missing tap {expected}'
+        # reference quirk: HunyuanDiTBlock has no block-level 'out' tap
+        assert 'vit-block0-out' not in flat
+        compare_taps(flat, ref_taps, atol=1e-3)
 
 
 class TestHunyuanAttentionGolden:

@@ -149,9 +149,9 @@ class FeedForward(nn.Module):
     """GEGLU MLP; 'ffn-inner' tap fires after net[0]
     (reference feature/diffusers/models/attention.py:1253-1257)."""
 
-    def __init__(self, dim: int, mult: int = 4):
+    def __init__(self, dim: int, mult: int = 4, inner: int | None = None):
         super().__init__()
-        inner = dim * mult
+        inner = dim * mult if inner is None else inner
         self.net = nn.ModuleList([GEGLU(dim, inner), nn.Identity(),
                                   nn.Linear(inner, dim)])
 
@@ -544,6 +544,67 @@ class AutoencoderKLEncoder(nn.Module):
 
     def forward(self, images):
         return self.quant_conv(self.encoder(images))
+
+
+class _VAEUpBlock(nn.Module):
+    def __init__(self, in_ch: int, out_ch: int, layers: int,
+                 add_upsample: bool):
+        super().__init__()
+        self.resnets = nn.ModuleList([
+            _VAEResnet(in_ch if r == 0 else out_ch, out_ch)
+            for r in range(layers + 1)])
+        if add_upsample:
+            us = nn.Module()
+            us.conv = nn.Conv2d(out_ch, out_ch, 3, padding=1)
+            self.upsamplers = nn.ModuleList([us])
+        else:
+            self.upsamplers = None
+
+    def forward(self, x):
+        for res in self.resnets:
+            x = res(x)
+        if self.upsamplers is not None:
+            x = F.interpolate(x, scale_factor=2.0, mode='nearest')
+            x = self.upsamplers[0].conv(x)
+        return x
+
+
+class _VAEDecoder(nn.Module):
+    def __init__(self, cfg: dict):
+        super().__init__()
+        rev = list(reversed(cfg['block_out_channels']))
+        self.conv_in = nn.Conv2d(cfg['latent_channels'], rev[0], 3, padding=1)
+        self.mid_block = _VAEMidBlock(rev[0])
+        self.up_blocks = nn.ModuleList([])
+        ch = rev[0]
+        for level, out_ch in enumerate(rev):
+            self.up_blocks.append(_VAEUpBlock(
+                ch, out_ch, cfg['layers_per_block'],
+                add_upsample=level != len(rev) - 1))
+            ch = out_ch
+        self.conv_norm_out = nn.GroupNorm(32, ch, eps=1e-6)
+        self.conv_out = nn.Conv2d(ch, cfg.get('out_channels', 3), 3, padding=1)
+
+    def forward(self, z):
+        x = self.mid_block(self.conv_in(z))
+        for blk in self.up_blocks:
+            x = blk(x)
+        return self.conv_out(F.silu(self.conv_norm_out(x)))
+
+
+class AutoencoderKLDecoder(nn.Module):
+    """post_quant_conv + decoder (diffusers AutoencoderKL.decode with
+    use_quant_conv=True) — the 'vae-out' pseudo-layer path
+    (feature/diffusion_feature.py:477-485)."""
+
+    def __init__(self, cfg: dict):
+        super().__init__()
+        self.post_quant_conv = nn.Conv2d(cfg['latent_channels'],
+                                         cfg['latent_channels'], 1)
+        self.decoder = _VAEDecoder(cfg)
+
+    def forward(self, z):
+        return self.decoder(self.post_quant_conv(z))
 
 
 def state_dict_numpy(module: nn.Module) -> dict:
@@ -996,3 +1057,506 @@ class HunyuanAttention(nn.Module):
         out = (probs @ vh).transpose(1, 2).reshape(b, -1,
                                                    self.heads * self.dim_head)
         return self.to_out[0](out)
+
+
+# ----------------------------------------------------------------- ControlNet
+class ControlNetConditioningEmbedding(nn.Module):
+    """diffusers ControlNetConditioningEmbedding: conv_in -> silu ->
+    [block -> silu]* -> conv_out (image-space condition down to latent res)."""
+
+    def __init__(self, out_ch: int, blocks=(16, 32, 96, 256)):
+        super().__init__()
+        self.conv_in = nn.Conv2d(3, blocks[0], 3, padding=1)
+        self.blocks = nn.ModuleList([])
+        for i in range(len(blocks) - 1):
+            self.blocks.append(nn.Conv2d(blocks[i], blocks[i], 3, padding=1))
+            self.blocks.append(
+                nn.Conv2d(blocks[i], blocks[i + 1], 3, stride=2, padding=1))
+        self.conv_out = nn.Conv2d(blocks[-1], out_ch, 3, padding=1)
+
+    def forward(self, x):
+        x = F.silu(self.conv_in(x))
+        for blk in self.blocks:
+            x = F.silu(blk(x))
+        return self.conv_out(x)
+
+
+class ControlNetModel(nn.Module):
+    """Transcription of diffusers ControlNetModel.forward (the U-Net encoder
+    copy + per-skip zero convs the reference wraps in ControlNetBase.encode,
+    feature/components/controlnet.py:13-24): conv_in + cond-embedding add,
+    down blocks, mid block, 1x1 projection per skip and for mid, all scaled
+    by conditioning_scale."""
+
+    def __init__(self, cfg: dict, cond_blocks=(16, 32, 96, 256)):
+        super().__init__()
+        self.cfg = cfg
+        ch0 = cfg['block_out_channels'][0]
+        temb_dim = ch0 * 4
+        self.conv_in = nn.Conv2d(cfg['in_channels'], ch0, 3, padding=1)
+        self.time_embedding = TimestepEmbedding(ch0, temb_dim)
+        if cfg.get('addition_embed_type') == 'text_time':
+            self.add_embedding = TimestepEmbedding(
+                cfg['projection_class_embeddings_input_dim'], temb_dim)
+        self.controlnet_cond_embedding = ControlNetConditioningEmbedding(
+            ch0, cond_blocks)
+
+        self.down_blocks = nn.ModuleList([])
+        skip_chs = [ch0]
+        ch = ch0
+        n_down = len(cfg['down_block_types'])
+        for level, btype in enumerate(cfg['down_block_types']):
+            out_ch = cfg['block_out_channels'][level]
+            add_ds = level != n_down - 1
+            self.down_blocks.append(_DownBlock(
+                cfg, level, ch, out_ch, add_downsample=add_ds,
+                has_attn=btype == 'CrossAttnDownBlock2D'))
+            skip_chs.extend([out_ch] * cfg['layers_per_block'])
+            if add_ds:
+                skip_chs.append(out_ch)
+            ch = out_ch
+        self.mid_block = _MidBlock(cfg, cfg['block_out_channels'][-1])
+
+        self.controlnet_down_blocks = nn.ModuleList(
+            [nn.Conv2d(c, c, 1) for c in skip_chs])
+        last = cfg['block_out_channels'][-1]
+        self.controlnet_mid_block = nn.Conv2d(last, last, 1)
+
+    def forward(self, sample, timestep, ctx, cond, scale=1.0, added_cond=None):
+        cfg = self.cfg
+        b = sample.shape[0]
+        ts = torch.full((b,), float(timestep))
+        temb = self.time_embedding(
+            timestep_embedding(ts, cfg['block_out_channels'][0]))
+        if cfg.get('addition_embed_type') == 'text_time':
+            time_embeds = timestep_embedding(
+                added_cond['time_ids'].reshape(-1),
+                cfg['addition_time_embed_dim']).reshape(b, -1)
+            temb = temb + self.add_embedding(
+                torch.cat([added_cond['text_embeds'], time_embeds], dim=-1))
+
+        x = self.conv_in(sample)
+        x = x + self.controlnet_cond_embedding(cond)
+        skips = [x]
+        for blk in self.down_blocks:
+            x, outs = blk(x, temb, ctx)
+            skips.extend(outs)
+        x = self.mid_block(x, temb, ctx)
+        down = tuple(conv(s) * scale
+                     for conv, s in zip(self.controlnet_down_blocks, skips))
+        mid = self.controlnet_mid_block(x) * scale
+        return down, mid
+
+
+# ------------------------------------------------------------ DeepFloyd IF
+class IFResnet(nn.Module):
+    """ResnetBlock2D with time_embedding_norm='scale_shift' and optional
+    in-block avg-pool/nearest resampling (IF's ResnetDownsample/Upsample
+    families, use_conv=False); GELU activations (act_fn='gelu')."""
+
+    def __init__(self, in_ch: int, out_ch: int, temb_dim: int,
+                 eps: float = 1e-5, down: bool = False, up: bool = False):
+        super().__init__()
+        self.norm1 = nn.GroupNorm(32, in_ch, eps=eps)
+        self.conv1 = nn.Conv2d(in_ch, out_ch, 3, padding=1)
+        self.time_emb_proj = nn.Linear(temb_dim, out_ch * 2)
+        self.norm2 = nn.GroupNorm(32, out_ch, eps=eps)
+        self.conv2 = nn.Conv2d(out_ch, out_ch, 3, padding=1)
+        self.conv_shortcut = (nn.Conv2d(in_ch, out_ch, 1)
+                              if in_ch != out_ch else None)
+        self.down, self.up = down, up
+
+    def forward(self, x, temb, taps=None, prefix=''):
+        h = F.gelu(self.norm1(x))
+        if self.down:
+            h = F.avg_pool2d(h, 2)
+            x = F.avg_pool2d(x, 2)
+        elif self.up:
+            h = F.interpolate(h, scale_factor=2.0, mode='nearest')
+            x = F.interpolate(x, scale_factor=2.0, mode='nearest')
+        h = self.conv1(h)
+        t = self.time_emb_proj(F.gelu(temb))[:, :, None, None]
+        scale, shift = torch.chunk(t, 2, dim=1)
+        h = self.conv2(F.gelu(self.norm2(h) * (1 + scale) + shift))
+        if taps is not None:
+            taps[f'{prefix}increment'] = h
+        if self.conv_shortcut is not None:
+            x = self.conv_shortcut(x)
+        out = x + h
+        if taps is not None:
+            taps[f'{prefix}out'] = out
+        return out
+
+
+class IFAddedKVAttention(nn.Module):
+    """AttnAddedKVProcessor math: token-wise GroupNorm, queries from image
+    tokens, keys/values = [projected text; image], residual add."""
+
+    def __init__(self, ch: int, head_dim: int, cross_dim: int,
+                 eps: float = 1e-5):
+        super().__init__()
+        self.group_norm = nn.GroupNorm(32, ch, eps=eps)
+        self.to_q = nn.Linear(ch, ch)
+        self.to_k = nn.Linear(ch, ch)
+        self.to_v = nn.Linear(ch, ch)
+        self.add_k_proj = nn.Linear(cross_dim, ch)
+        self.add_v_proj = nn.Linear(cross_dim, ch)
+        self.to_out = nn.ModuleList([nn.Linear(ch, ch)])
+        self.heads = ch // head_dim
+        self.head_dim = head_dim
+
+    def forward(self, x, ctx):
+        b, c, hh, ww = x.shape
+        res = x
+        h = x.reshape(b, c, hh * ww)
+        h = self.group_norm(h).transpose(1, 2)            # (b, s, c)
+        q = self.to_q(h)
+        k = torch.cat([self.add_k_proj(ctx), self.to_k(h)], dim=1)
+        v = torch.cat([self.add_v_proj(ctx), self.to_v(h)], dim=1)
+
+        def split(t):
+            return t.reshape(b, -1, self.heads, self.head_dim).permute(0, 2, 1, 3)
+
+        qh, kh, vh = split(q), split(k), split(v)
+        w = (qh.float() @ kh.float().transpose(-1, -2)
+             * self.head_dim ** -0.5).softmax(dim=-1)
+        a = (w @ vh.float()).to(v.dtype)
+        a = a.permute(0, 2, 1, 3).reshape(b, hh * ww, c)
+        out = self.to_out[0](a)
+        return out.transpose(1, 2).reshape(b, c, hh, ww) + res
+
+
+class IFTextTimeEmbedding(nn.Module):
+    """TextTimeEmbedding (addition_embed_type='text'): LN -> attention
+    pooling (mean class token + positional embedding, 1/sqrt(sqrt(d)) scale
+    on q AND k) -> proj -> LN.  Module names flatten to our flax params
+    (pool_q_proj etc.)."""
+
+    def __init__(self, embed_dim: int, time_embed_dim: int, num_heads: int):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(embed_dim)
+        self.pool_positional_embedding = nn.Parameter(
+            torch.randn(1, embed_dim) / embed_dim ** 0.5)
+        self.pool_q_proj = nn.Linear(embed_dim, embed_dim)
+        self.pool_k_proj = nn.Linear(embed_dim, embed_dim)
+        self.pool_v_proj = nn.Linear(embed_dim, embed_dim)
+        self.proj = nn.Linear(embed_dim, time_embed_dim)
+        self.norm2 = nn.LayerNorm(time_embed_dim)
+        self.num_heads = num_heads
+
+    def forward(self, text):
+        x = self.norm1(text)
+        b, _, d = x.shape
+        class_token = x.mean(dim=1, keepdim=True) \
+            + self.pool_positional_embedding[None]
+        xc = torch.cat([class_token, x], dim=1)
+        hd = d // self.num_heads
+        scale = 1.0 / hd ** 0.25
+
+        def split(t):
+            return t.reshape(b, -1, self.num_heads, hd).permute(0, 2, 1, 3)
+
+        qh = split(self.pool_q_proj(class_token)) * scale
+        kh = split(self.pool_k_proj(xc)) * scale
+        vh = split(self.pool_v_proj(xc))
+        w = (qh.float() @ kh.float().transpose(-1, -2)).softmax(dim=-1)
+        a = (w @ vh.float()).to(vh.dtype)
+        pooled = a.permute(0, 2, 1, 3).reshape(b, -1, d)[:, 0]
+        return self.norm2(self.proj(pooled))
+
+
+class IFUNet(nn.Module):
+    """Tiny-config transcription of DeepFloyd IF stage-I's UNet2DCondition
+    configuration (pixel-space, scale-shift resnets, added-KV attention,
+    encoder_hid_proj, attention-pooled text added embedding; reference zoo
+    entry feature/components/models.py:119-133).  Module names flatten to
+    our IFUNet param paths."""
+
+    def __init__(self, cfg: dict):
+        super().__init__()
+        self.cfg = cfg
+        chans = cfg['block_out_channels']
+        ch0 = chans[0]
+        temb_dim = ch0 * 4
+        self.conv_in = nn.Conv2d(cfg['in_channels'], ch0, 3, padding=1)
+        self.time_embedding = TimestepEmbedding(ch0, temb_dim, act='gelu')
+        self.add_embedding = IFTextTimeEmbedding(
+            cfg['encoder_hid_dim'], temb_dim,
+            cfg['addition_embed_type_num_heads'])
+        self.encoder_hid_proj = nn.Linear(cfg['encoder_hid_dim'],
+                                          cfg['cross_attention_dim'])
+        hd = cfg['attention_head_dim']
+        cd = cfg['cross_attention_dim']
+        lp = cfg['layers_per_block']
+
+        self.down_blocks = nn.ModuleList([])
+        ch = ch0
+        for level, btype in enumerate(cfg['down_block_types']):
+            out_ch = chans[level]
+            blk = nn.Module()
+            blk.resnets = nn.ModuleList([
+                IFResnet(ch if r == 0 else out_ch, out_ch, temb_dim)
+                for r in range(lp)])
+            if btype == 'SimpleCrossAttnDownBlock2D':
+                blk.attentions = nn.ModuleList([
+                    IFAddedKVAttention(out_ch, hd, cd) for _ in range(lp)])
+            if level != len(chans) - 1:
+                blk.downsamplers = nn.ModuleList([
+                    IFResnet(out_ch, out_ch, temb_dim, down=True)])
+            self.down_blocks.append(blk)
+            ch = out_ch
+
+        mid = nn.Module()
+        mid.resnets = nn.ModuleList([IFResnet(ch, ch, temb_dim),
+                                     IFResnet(ch, ch, temb_dim)])
+        mid.attentions = nn.ModuleList([IFAddedKVAttention(ch, hd, cd)])
+        self.mid_block = mid
+
+        rev = list(reversed(chans))
+        self.up_blocks = nn.ModuleList([])
+        prev = rev[0]
+        for level, btype in enumerate(cfg['up_block_types']):
+            out_ch = rev[level]
+            in_ch = rev[min(level + 1, len(chans) - 1)]
+            blk = nn.Module()
+            blk.resnets = nn.ModuleList([])
+            n = lp + 1
+            for r in range(n):
+                skip = in_ch if r == n - 1 else out_ch
+                res_in = prev if r == 0 else out_ch
+                blk.resnets.append(IFResnet(res_in + skip, out_ch, temb_dim))
+            if btype == 'SimpleCrossAttnUpBlock2D':
+                blk.attentions = nn.ModuleList([
+                    IFAddedKVAttention(out_ch, hd, cd) for _ in range(n)])
+            if level != len(cfg['up_block_types']) - 1:
+                blk.upsamplers = nn.ModuleList([
+                    IFResnet(out_ch, out_ch, temb_dim, up=True)])
+            self.up_blocks.append(blk)
+            prev = out_ch
+
+        self.conv_norm_out = nn.GroupNorm(32, ch0, eps=cfg.get('norm_eps', 1e-5))
+        self.conv_out = nn.Conv2d(ch0, cfg['out_channels'], 3, padding=1)
+
+    def forward(self, sample, timestep, text, taps=None):
+        cfg = self.cfg
+        if taps is not None:
+            taps['unet-in'] = sample
+        b = sample.shape[0]
+        ts = torch.full((b,), float(timestep))
+        temb = self.time_embedding(
+            timestep_embedding(ts, cfg['block_out_channels'][0]))
+        temb = temb + self.add_embedding(text)
+        ctx = self.encoder_hid_proj(text)
+
+        x = self.conv_in(sample)
+        if taps is not None:
+            taps['unet-after-conv-in'] = x
+        skips = [x]
+        for level, blk in enumerate(self.down_blocks):
+            for r, res in enumerate(blk.resnets):
+                p = f'down-level{level}-repeat{r}-res-'
+                x = res(x, temb, taps=taps, prefix=p)
+                if hasattr(blk, 'attentions'):
+                    x = blk.attentions[r](x, ctx)
+                skips.append(x)
+            if hasattr(blk, 'downsamplers'):
+                x = blk.downsamplers[0](
+                    x, temb, taps=taps,
+                    prefix=f'down-level{level}-downsampler-')
+                skips.append(x)
+
+        x = self.mid_block.resnets[0](x, temb, taps=taps,
+                                      prefix='mid-repeat0-res-')
+        x = self.mid_block.attentions[0](x, ctx)
+        x = self.mid_block.resnets[1](x, temb, taps=taps,
+                                      prefix='mid-repeat1-res-')
+
+        for level, blk in enumerate(self.up_blocks):
+            for r, res in enumerate(blk.resnets):
+                skip = skips.pop()
+                x = torch.cat([x, skip], dim=1)
+                x = res(x, temb, taps=taps,
+                        prefix=f'up-level{level}-repeat{r}-res-')
+                if hasattr(blk, 'attentions'):
+                    x = blk.attentions[r](x, ctx)
+            if hasattr(blk, 'upsamplers'):
+                x = blk.upsamplers[0](x, temb, taps=taps,
+                                      prefix=f'up-level{level}-upsampler-')
+        out = self.conv_out(F.gelu(self.conv_norm_out(x)))
+        if taps is not None:
+            taps['unet-out'] = out
+        return out
+
+
+class HunyuanDiTBlock(nn.Module):
+    """HunyuanDiTBlock: optional U-ViT skip (cat -> LN -> linear),
+    AdaLayerNormShift self-attention, plain-LN cross-attention, GEGLU FF."""
+
+    def __init__(self, dim: int, heads: int, mlp_ratio: float,
+                 with_skip: bool, eps: float = 1e-6):
+        super().__init__()
+        hd = dim // heads
+        if with_skip:
+            self.skip_norm = nn.LayerNorm(2 * dim, eps=eps)
+            self.skip_linear = nn.Linear(2 * dim, dim)
+        n1 = nn.Module()
+        n1.linear = nn.Linear(dim, dim)
+        n1.norm = nn.LayerNorm(dim, eps=eps)
+        self.norm1 = n1
+        self.attn1 = HunyuanAttention(dim, heads, hd, is_cross=False)
+        self.norm2 = nn.LayerNorm(dim, eps=eps)
+        self.attn2 = HunyuanAttention(dim, heads, hd, is_cross=True)
+        self.norm3 = nn.LayerNorm(dim, eps=eps)
+        self.ff = FeedForward(dim, inner=int(dim * mlp_ratio))
+        self.with_skip = with_skip
+
+    def forward(self, x, ctx, temb, cos, sin, skip=None, taps=None,
+                prefix=''):
+        if self.with_skip:
+            x = self.skip_linear(self.skip_norm(torch.cat([x, skip], dim=-1)))
+        shift = self.norm1.linear(F.silu(temb.float()).to(temb.dtype))
+        h = self.norm1.norm(x) + shift[:, None]
+        x = x + self.attn1(h, None, cos, sin, taps=taps,
+                           prefix=f'{prefix}self-')
+        h = self.norm2(x)
+        x = x + self.attn2(h, ctx, cos, sin, taps=taps,
+                           prefix=f'{prefix}cross-')
+        h = self.norm3(x)
+        x = x + self.ff(h, taps=taps, prefix=f'{prefix}ffn-')
+        # NO block-level 'out' tap: HunyuanDiTBlock is outside the overlay
+        return x
+
+
+class HunyuanAttentionPool(nn.Module):
+    """HunyuanDiTAttentionPool over the T5 sequence (CLIP lineage): mean
+    token prepended, positional embedding added to ALL tokens."""
+
+    def __init__(self, seq_len: int, embed_dim: int, heads: int,
+                 output_dim: int):
+        super().__init__()
+        self.positional_embedding = nn.Parameter(
+            torch.randn(seq_len + 1, embed_dim) / embed_dim ** 0.5)
+        self.q_proj = nn.Linear(embed_dim, embed_dim)
+        self.k_proj = nn.Linear(embed_dim, embed_dim)
+        self.v_proj = nn.Linear(embed_dim, embed_dim)
+        self.c_proj = nn.Linear(embed_dim, output_dim)
+        self.heads = heads
+
+    def forward(self, x):
+        b, s, c = x.shape
+        x = torch.cat([x.mean(dim=1, keepdim=True), x], dim=1) \
+            + self.positional_embedding[None].to(x.dtype)
+        hd = c // self.heads
+
+        def split(t):
+            return t.reshape(b, -1, self.heads, hd).transpose(1, 2)
+
+        qh = split(self.q_proj(x[:, :1]))
+        kh = split(self.k_proj(x))
+        vh = split(self.v_proj(x))
+        w = (qh.float() @ kh.float().transpose(-1, -2) * hd ** -0.5
+             ).softmax(dim=-1)
+        a = (w @ vh.float()).to(vh.dtype)
+        a = a.transpose(1, 2).reshape(b, -1, c)
+        return self.c_proj(a)[:, 0]
+
+
+class HunyuanDiT2DModel(nn.Module):
+    """Tiny-config transcription of diffusers HunyuanDiT2DModel (reference
+    zoo entry feature/components/models.py:134-149): patch embed, combined
+    timestep/pooled-T5/meta-size/style conditioning, BERT+projected-T5 text
+    context with learned padding row, U-ViT long skips, AdaLN-continuous
+    output + unpatchify."""
+
+    def __init__(self, cfg: dict):
+        super().__init__()
+        self.cfg = cfg
+        dim = cfg['hidden_size']
+        p = cfg['patch_size']
+        pe = nn.Module()
+        pe.proj = nn.Conv2d(cfg['in_channels'], dim, p, stride=p)
+        self.pos_embed = pe
+        tee = nn.Module()
+        tee.timestep_embedder = TimestepEmbedding(256, dim)
+        tee.pooler = HunyuanAttentionPool(
+            cfg['text_len_t5'], cfg['cross_attention_dim_t5'], 8,
+            cfg['pooled_projection_dim'])
+        tee.style_embedder = nn.Embedding(1, dim)
+        ee = nn.Module()
+        extra_in = cfg['pooled_projection_dim'] + 6 * 256 + dim
+        ee.linear_1 = nn.Linear(extra_in, dim * 4)
+        ee.linear_2 = nn.Linear(dim * 4, dim)
+        tee.extra_embedder = ee
+        self.time_extra_emb = tee
+        te = nn.Module()
+        te.linear_1 = nn.Linear(cfg['cross_attention_dim_t5'],
+                                cfg['cross_attention_dim_t5'] * 4)
+        te.linear_2 = nn.Linear(cfg['cross_attention_dim_t5'] * 4,
+                                cfg['cross_attention_dim'])
+        self.text_embedder = te
+        self.text_embedding_padding = nn.Parameter(
+            torch.randn(cfg['text_len'] + cfg['text_len_t5'],
+                        cfg['cross_attention_dim']) * 0.02)
+        half = cfg['num_layers'] // 2
+        self.blocks = nn.ModuleList([
+            HunyuanDiTBlock(dim, cfg['num_attention_heads'],
+                            cfg['mlp_ratio'], with_skip=i > half)
+            for i in range(cfg['num_layers'])])
+        no = nn.Module()
+        no.linear = nn.Linear(dim, 2 * dim)
+        self.norm_out = no
+        self.ln = nn.LayerNorm(dim, eps=cfg.get('norm_eps', 1e-6),
+                               elementwise_affine=False)
+        self.proj_out = nn.Linear(dim, p * p * cfg['out_channels'])
+
+    def forward(self, sample, timestep, bert_ctx, t5_ctx, cos, sin,
+                bert_mask=None, t5_mask=None, taps=None):
+        cfg = self.cfg
+        b, c, hh, ww = sample.shape
+        p = cfg['patch_size']
+        gh, gw = hh // p, ww // p
+        x = self.pos_embed.proj(sample)
+        x = x.flatten(2).transpose(1, 2)                 # (b, gh*gw, dim)
+
+        ts = torch.full((b,), float(timestep))
+        temb = self.time_extra_emb.timestep_embedder(
+            timestep_embedding(ts, 256))
+        pooled = self.time_extra_emb.pooler(t5_ctx)
+        s = float(hh * 8)
+        meta = torch.tensor([[s, s, s, s, 0.0, 0.0]]).repeat(b, 1)
+        size_emb = timestep_embedding(meta.reshape(-1), 256).reshape(b, -1)
+        style_emb = self.time_extra_emb.style_embedder(
+            torch.zeros(b, dtype=torch.long))
+        extra = torch.cat([pooled, size_emb, style_emb], dim=-1)
+        e = self.time_extra_emb.extra_embedder.linear_1(extra)
+        e = self.time_extra_emb.extra_embedder.linear_2(F.silu(e.float()))
+        temb = temb + e
+
+        t5p = self.text_embedder.linear_2(
+            F.silu(self.text_embedder.linear_1(t5_ctx).float()))
+        ctx = torch.cat([bert_ctx, t5p], dim=1)
+        if bert_mask is None:
+            bert_mask = torch.ones(b, cfg['text_len'])
+        if t5_mask is None:
+            t5_mask = torch.ones(b, cfg['text_len_t5'])
+        full_mask = torch.cat([bert_mask, t5_mask], dim=1).bool()
+        ctx = torch.where(full_mask[..., None], ctx,
+                          self.text_embedding_padding[None])
+
+        skips = []
+        half = cfg['num_layers'] // 2
+        for i, blk in enumerate(self.blocks):
+            with_skip = i > half
+            x = blk(x, ctx, temb, cos, sin,
+                    skip=skips.pop() if with_skip else None,
+                    taps=taps, prefix=f'vit-block{i}-')
+            if i < half - 1:
+                skips.append(x)
+
+        mods = self.norm_out.linear(F.silu(temb))
+        scale, shift = torch.chunk(mods, 2, dim=-1)
+        h = self.ln(x) * (1 + scale[:, None]) + shift[:, None]
+        h = self.proj_out(h)
+        h = h.reshape(b, gh, gw, p, p, cfg['out_channels'])
+        return torch.einsum('bhwpqc->bchpwq', h).reshape(
+            b, cfg['out_channels'], gh * p, gw * p)
