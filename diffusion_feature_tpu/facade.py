@@ -241,10 +241,12 @@ class FeatureExtractor:
             from .tokenizers.t5_tok import load_t5_tokenizer
             import os
             grid = lat // 2
+            from .parallel.mesh import has_sp
             self.unet = FluxTransformer2D(
                 cfg=spec.dit, grid_hw=(grid, grid),
                 text_len=spec.prompt_max_length, dtype=self.dtype,
-                taps=self.taps, attn_store_sizes=self._attn_sizes)
+                taps=self.taps, attn_store_sizes=self._attn_sizes,
+                token_pspec=('dp', 'sp') if has_sp(self.mesh) else None)
             self.text_encoders = (
                 CLIPTextModel(cfg=spec.text_encoders[0], dtype=self.dtype),
                 T5EncoderModel(cfg=spec.t5, dtype=self.dtype))
@@ -940,7 +942,10 @@ class FeatureExtractor:
 
         def wrapped(params, img, *rest):
             img = jax.device_put(img, batch_sh)
-            return jitted(place(params), img, *rest)
+            # trace inside the mesh context so bare-PartitionSpec sharding
+            # constraints (sequence parallelism, models/flux.py) resolve
+            with self.mesh:
+                return jitted(place(params), img, *rest)
 
         return wrapped
 

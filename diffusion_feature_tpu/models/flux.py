@@ -419,6 +419,13 @@ class FluxTransformer2D(nn.Module):
 
     The caller packs/unpacks latents (pack_latents/unpack_latents) and
     supplies the latent grid size for RoPE via ``grid_hw``.
+
+    ``token_pspec`` (e.g. ``('dp', 'sp')``) turns on sequence parallelism:
+    (batch, token) sharding constraints are re-asserted at every block
+    boundary so XLA's SPMD partitioner keeps activations token-sharded
+    across the 'sp' mesh axis and inserts the attention all-gathers over
+    ICI itself.  Requires tracing inside the mesh context (the facade's
+    ``_jit_sharded`` enters it).
     """
     cfg: FluxConfig
     grid_hw: Tuple[int, int] = (64, 64)    # packed token grid (h/2, w/2)
@@ -426,6 +433,14 @@ class FluxTransformer2D(nn.Module):
     dtype: jnp.dtype = jnp.float32
     taps: TapSpec = EMPTY
     attn_store_sizes: Optional[Tuple[int, int]] = None
+    token_pspec: Optional[Tuple[Optional[str], Optional[str]]] = None
+
+    def _constrain(self, x):
+        if self.token_pspec is None:
+            return x
+        from jax.sharding import PartitionSpec as P
+        return jax.lax.with_sharding_constraint(
+            x, P(self.token_pspec[0], self.token_pspec[1], None))
 
     @nn.compact
     def __call__(self, hidden_states, timestep, encoder_hidden_states,
@@ -472,20 +487,22 @@ class FluxTransformer2D(nn.Module):
         cos = jnp.asarray(cos_np)
         sin = jnp.asarray(sin_np)
 
-        img = x
+        img = self._constrain(x)
         for i in range(cfg.num_layers):
             img, ctx = FluxTransformerBlock(
                 cfg=cfg, dtype=self.dtype, taps=self.taps,
                 tap_name=f'vit-block{i}', attn_store=store,
                 name=f'transformer_blocks_{i}')(img, ctx, temb, cos, sin)
+            img = self._constrain(img)
 
-        h = jnp.concatenate([ctx, img], axis=1)
+        h = self._constrain(jnp.concatenate([ctx, img], axis=1))
         for j in range(cfg.num_single_layers):
             idx = cfg.num_layers + j
             h = FluxSingleTransformerBlock(
                 cfg=cfg, text_len=self.text_len, dtype=self.dtype,
                 taps=self.taps, tap_name=f'vit-block{idx}', attn_store=store,
                 name=f'single_transformer_blocks_{j}')(h, temb, cos, sin)
+            h = self._constrain(h)
 
         h = h[:, self.text_len:]
         # AdaLayerNormContinuous

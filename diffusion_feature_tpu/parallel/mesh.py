@@ -5,6 +5,11 @@ models on separate GPUs and moves tensors with Python threads.  The TPU-native
 replacement is a ``jax.sharding.Mesh`` with named axes:
 
   dp — data parallel: batch dimension of extraction/training
+  sp — sequence parallel: the DiT token dimension (Flux @1024² is 4096
+       image tokens, @2048² 16k — past one chip's activation budget at
+       batch>1).  Token-dim sharding constraints at block boundaries let
+       XLA's SPMD partitioner insert the all-gathers over ICI; weights stay
+       replicated (or tp-sharded) so sp composes with dp and tp.
   tp — tensor parallel: attention heads / FFN inner dim / conv channels
 
 Batch extraction shards images over dp; the U-Net itself is replicated unless
@@ -21,19 +26,30 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(dp: Optional[int] = None, tp: int = 1,
+def make_mesh(dp: Optional[int] = None, tp: int = 1, sp: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if dp is None:
-        dp = n // tp
-    assert dp * tp == n, f'dp({dp}) * tp({tp}) != n_devices({n})'
-    arr = np.asarray(devices).reshape(dp, tp)
-    return Mesh(arr, ('dp', 'tp'))
+        dp = n // (tp * sp)
+    assert dp * tp * sp == n, \
+        f'dp({dp}) * sp({sp}) * tp({tp}) != n_devices({n})'
+    arr = np.asarray(devices).reshape(dp, sp, tp)
+    return Mesh(arr, ('dp', 'sp', 'tp'))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P('dp'))
+
+
+def token_sharding(mesh: Mesh) -> NamedSharding:
+    """(B, S, D) activations: batch over dp, tokens over sp."""
+    return NamedSharding(mesh, P('dp', 'sp', None))
+
+
+def has_sp(mesh: Optional[Mesh]) -> bool:
+    return (mesh is not None and 'sp' in mesh.axis_names
+            and mesh.shape['sp'] > 1)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -65,13 +65,19 @@ def build_parser():
                              '(qkv/ffn column, out-proj row) over tp devices; '
                              'needed when the model exceeds one chip\'s HBM '
                              '(e.g. Flux-12B bf16 on v5e)')
+    parser.add_argument('--sp', type=int, default=1,
+                        help='sequence-parallel shard the DiT token dim over '
+                             'sp devices (flux; composes with --dp/--tp)')
     parser.add_argument('--transformer_8bit', type=lambda s: s == 'true',
                         default=None, choices=(True, False), metavar='{true,false}',
                         help='int8 weight-only flux transformer (fits 12B on '
                              'one 16-GiB chip); default auto: on for flux '
                              'with --weights and no mesh/LoRA')
-    # debug
+    # debug / observability
     parser.add_argument('--show_all_layers', action='store_true')
+    parser.add_argument('--profile', type=str, default=None, metavar='DIR',
+                        help='capture a jax.profiler trace of the extraction '
+                             'loop into DIR (view with xprof/tensorboard)')
     return parser
 
 
@@ -95,11 +101,12 @@ def main(argv=None):
         return
 
     mesh = None
-    if args.dp > 1 or args.tp > 1:
+    if args.dp > 1 or args.tp > 1 or args.sp > 1:
         import jax
         from diffusion_feature_tpu.parallel.mesh import make_mesh
-        n = args.dp * args.tp
-        mesh = make_mesh(dp=args.dp, tp=args.tp, devices=jax.devices()[:n])
+        n = args.dp * args.tp * args.sp
+        mesh = make_mesh(dp=args.dp, tp=args.tp, sp=args.sp,
+                         devices=jax.devices()[:n])
 
     df = FeatureExtractor(
         resolve_layer_config(args.layer),
@@ -153,6 +160,19 @@ def main(argv=None):
     loader = PrefetchLoader(imgs, args.batch_size,
                             lambda p: Image.open(p).convert('RGB'))
 
+    profiler = None
+    if args.profile:
+        # host + XLA trace of the steady-state loop (the reference has no
+        # profiling story at all, SURVEY §5); best-effort: device traces
+        # may be unavailable behind remote-TPU tunnels
+        import jax
+        try:
+            jax.profiler.start_trace(args.profile)
+            profiler = True
+            print(f'profiling to {args.profile}')
+        except Exception as e:
+            print(f'profiler unavailable: {e}', file=sys.stderr)
+
     i = 0
     for batch_paths, sublist in loader:
         n_real = len(sublist)
@@ -184,6 +204,10 @@ def main(argv=None):
         i += n_real
         print(f'{i}/{len(imgs)}')
     writer.close()
+    if profiler:
+        import jax
+        jax.profiler.stop_trace()
+        print(f'profile written to {args.profile}')
 
 
 if __name__ == '__main__':

@@ -72,6 +72,46 @@ class TestMeshExtraction:
         from jax.sharding import PartitionSpec as P
         assert any(v.sharding.spec == P(None, 'tp') for v in qs)
 
+    def test_sp_sharded_flux_extract_matches_unsharded(self):
+        """Sequence parallelism: a dp2xsp2 mesh token-shards the Flux
+        transformer's activations (block-boundary sharding constraints,
+        models/flux.py token_pspec) and must reproduce the unsharded
+        features bit-for-tolerance."""
+        mesh = make_mesh(dp=2, sp=2, tp=1, devices=jax.devices()[:4])
+        kw = dict(layer={'vit-block0-out': True, 'vit-block2-out': True},
+                  version='test-flux', img_size=64, dtype='float32', seed=0)
+        fe_sp = FeatureExtractor(mesh=mesh, **kw)
+        assert fe_sp.unet.token_pspec == ('dp', 'sp')
+        fe_plain = FeatureExtractor(**kw)
+        assert fe_plain.unet.token_pspec is None
+        imgs = [make_image(i) for i in range(4)]
+        fe_sp._rng = jax.random.PRNGKey(7)
+        fe_plain._rng = jax.random.PRNGKey(7)
+        f1 = fe_sp.extract('a cat', 4, imgs, t=500)
+        f2 = fe_plain.extract('a cat', 4, imgs, t=500)
+        for k in ('vit-block0-out', 'vit-block2-out'):
+            a = np.asarray(f1[k], np.float32)
+            b = np.asarray(f2[k], np.float32)
+            assert a.shape == b.shape
+            assert np.allclose(a, b, rtol=0.02, atol=0.02), k
+
+    def test_sp_mesh_composes_with_tp(self):
+        """dp2 x sp2 x tp2 on the full virtual mesh: token sharding and
+        weight sharding at once (the Flux-12B many-chip deployment shape)."""
+        mesh = make_mesh(dp=2, sp=2, tp=2, devices=jax.devices()[:8])
+        kw = dict(layer={'vit-block0-out': True}, version='test-flux',
+                  img_size=64, dtype='float32', seed=0)
+        fe = FeatureExtractor(mesh=mesh, **kw)
+        fe_plain = FeatureExtractor(**kw)
+        imgs = [make_image(i) for i in range(4)]
+        fe._rng = jax.random.PRNGKey(7)
+        fe_plain._rng = jax.random.PRNGKey(7)
+        f1 = fe.extract('a cat', 4, imgs, t=500)
+        f2 = fe_plain.extract('a cat', 4, imgs, t=500)
+        a = np.asarray(f1['vit-block0-out'], np.float32)
+        b = np.asarray(f2['vit-block0-out'], np.float32)
+        assert np.allclose(a, b, rtol=0.02, atol=0.02)
+
     def test_params_placed_once(self, monkeypatch):
         """VERDICT r1 item 5: the second extract() must not re-place the
         param tree (only the fresh image batch transfers)."""
