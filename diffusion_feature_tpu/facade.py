@@ -194,9 +194,11 @@ class FeatureExtractor:
             from .models.t5 import T5EncoderModel
             from .tokenizers.t5_tok import load_t5_tokenizer, T5HashTokenizer
             import os
+            from .parallel.mesh import has_sp
             self.unet = HunyuanDiT2D(
                 cfg=spec.dit, dtype=self.dtype, taps=self.taps,
-                attn_store_sizes=self._attn_sizes)
+                attn_store_sizes=self._attn_sizes,
+                token_pspec=('dp', 'sp') if has_sp(self.mesh) else None)
             self.text_encoders = (
                 BertTextModel(cfg=spec.bert, dtype=self.dtype),
                 T5EncoderModel(cfg=spec.t5, dtype=self.dtype))
@@ -310,9 +312,11 @@ class FeatureExtractor:
             from .models.t5 import T5EncoderModel
             from .tokenizers.t5_tok import load_t5_tokenizer
             import os
+            from .parallel.mesh import has_sp
             self.unet = PixArtTransformer2D(
                 cfg=spec.dit, dtype=self.dtype, taps=self.taps,
-                attn_store_sizes=self._attn_sizes)
+                attn_store_sizes=self._attn_sizes,
+                token_pspec=('dp', 'sp') if has_sp(self.mesh) else None)
             self.text_encoders = (T5EncoderModel(cfg=spec.t5, dtype=self.dtype),)
             tok_dir = os.path.join(weights, 'tokenizer') if weights else None
             self.tokenizers = (load_t5_tokenizer(

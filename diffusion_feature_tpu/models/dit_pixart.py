@@ -18,6 +18,7 @@ import dataclasses
 from typing import Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -155,6 +156,16 @@ class PixArtTransformer2D(nn.Module):
     dtype: jnp.dtype = jnp.float32
     taps: TapSpec = EMPTY
     attn_store_sizes: Optional[tuple] = None
+    # sequence parallelism: (batch, token) axis names, e.g. ('dp', 'sp') —
+    # sharding constraints at block boundaries (see models/flux.py)
+    token_pspec: Optional[tuple] = None
+
+    def _constrain(self, x):
+        if self.token_pspec is None:
+            return x
+        from jax.sharding import PartitionSpec as P
+        return jax.lax.with_sharding_constraint(
+            x, P(self.token_pspec[0], self.token_pspec[1], None))
 
     @nn.compact
     def __call__(self, sample, timestep, encoder_hidden_states,
@@ -202,10 +213,12 @@ class PixArtTransformer2D(nn.Module):
             mask = mask.astype(self.dtype)
 
         # 4. blocks
+        x = self._constrain(x)
         for i in range(cfg.num_layers):
             x = PixArtBlock(cfg=cfg, dtype=self.dtype, taps=self.taps,
                             tap_name=f'vit-block{i}', attn_store=store,
                             name=f'transformer_blocks_{i}')(x, ctx, t6, mask)
+            x = self._constrain(x)
 
         # 5. output: modulated norm + linear + unpatchify
         table = self.param('scale_shift_table',

@@ -244,6 +244,16 @@ class HunyuanDiT2D(nn.Module):
     dtype: jnp.dtype = jnp.float32
     taps: TapSpec = EMPTY
     attn_store_sizes: Optional[Tuple[int, int]] = None
+    # sequence parallelism: (batch, token) axis names, e.g. ('dp', 'sp') —
+    # sharding constraints at block boundaries (see models/flux.py)
+    token_pspec: Optional[tuple] = None
+
+    def _constrain(self, x):
+        if self.token_pspec is None:
+            return x
+        from jax.sharding import PartitionSpec as P
+        return jax.lax.with_sharding_constraint(
+            x, P(self.token_pspec[0], self.token_pspec[1], None))
 
     @nn.compact
     def __call__(self, sample, timestep, encoder_hidden_states,
@@ -325,6 +335,7 @@ class HunyuanDiT2D(nn.Module):
         # 4. blocks with U-ViT long skips in the second half
         skips = []
         half = cfg.num_layers // 2
+        x = self._constrain(x)
         for i in range(cfg.num_layers):
             with_skip = i > half
             blk = HunyuanDiTBlock(
@@ -332,6 +343,7 @@ class HunyuanDiT2D(nn.Module):
                 taps=self.taps, tap_name=f'vit-block{i}', attn_store=store,
                 name=f'blocks_{i}')
             x = blk(x, ctx, temb, cos, sin, skips.pop() if with_skip else None)
+            x = self._constrain(x)
             if i < half - 1:
                 skips.append(x)
 

@@ -95,6 +95,30 @@ class TestMeshExtraction:
             assert a.shape == b.shape
             assert np.allclose(a, b, rtol=0.02, atol=0.02), k
 
+    def test_sp_sharded_pixart_and_hunyuan_match_unsharded(self):
+        """Token sharding is wired for every DiT family, not just Flux."""
+        mesh = make_mesh(dp=2, sp=2, tp=1, devices=jax.devices()[:4])
+        for version, layer, t in (('test-pixart', 'vit-block0-out', 500),
+                                  ('test-hunyuan', 'vit-block0-ffn-inner',
+                                   500)):
+            kw = dict(layer={layer: True}, version=version, img_size=64,
+                      dtype='float32', seed=0)
+            fe_sp = FeatureExtractor(mesh=mesh, **kw)
+            assert fe_sp.unet.token_pspec == ('dp', 'sp'), version
+            fe_plain = FeatureExtractor(**kw)
+            imgs = [make_image(i) for i in range(4)]
+            fe_sp._rng = jax.random.PRNGKey(7)
+            fe_plain._rng = jax.random.PRNGKey(7)
+            p1 = (fe_sp.encode_prompt('a cat')
+                  if version == 'test-pixart' else 'a cat')
+            p2 = (fe_plain.encode_prompt('a cat')
+                  if version == 'test-pixart' else 'a cat')
+            f1 = fe_sp.extract(p1, 4, imgs, t=t)
+            f2 = fe_plain.extract(p2, 4, imgs, t=t)
+            a = np.asarray(f1[layer], np.float32)
+            b = np.asarray(f2[layer], np.float32)
+            assert np.allclose(a, b, rtol=0.02, atol=0.02), version
+
     def test_sp_mesh_composes_with_tp(self):
         """dp2 x sp2 x tp2 on the full virtual mesh: token sharding and
         weight sharding at once (the Flux-12B many-chip deployment shape)."""
