@@ -10,3 +10,4 @@ so the framework works without a toolchain.
 
 from .build import load_library
 from .dump_writer import AsyncDumpWriter, native_available
+from .npy_reader import AsyncNpyReader, native_reader_available

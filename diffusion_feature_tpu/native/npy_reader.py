@@ -1,0 +1,119 @@
+"""AsyncNpyReader: prefetching .npy loads through the native reader pool.
+
+The scarce-pixel task consumes GB-scale aggregated feature dumps (reference
+scarce_segmentation/task-pixel.py:32-71 loads them serially); here file IO
+and header parsing run on C++ worker threads (npyio.cpp) ahead of the JAX
+compute that consumes each array.  Falls back to synchronous np.load when
+the native library is unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import threading
+from typing import Sequence
+
+import numpy as np
+
+from .build import load_library
+
+_lib = None
+_lib_lock = threading.Lock()
+
+
+def _get_lib():
+    global _lib
+    with _lib_lock:
+        if _lib is None:
+            lib = load_library('npyio')
+            if lib is not None:
+                lib.nr_create.restype = ctypes.c_void_p
+                lib.nr_create.argtypes = [ctypes.c_int]
+                lib.nr_submit.restype = ctypes.c_int64
+                lib.nr_submit.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+                lib.nr_wait.restype = ctypes.c_int
+                lib.nr_wait.argtypes = [
+                    ctypes.c_void_p, ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_void_p),
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_int),
+                    ctypes.c_char_p,
+                    ctypes.POINTER(ctypes.c_int)]
+                lib.nr_free.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+                lib.nr_destroy.argtypes = [ctypes.c_void_p]
+            _lib = lib if lib is not None else False
+    return _lib or None
+
+
+def native_reader_available() -> bool:
+    return _get_lib() is not None
+
+
+class AsyncNpyReader:
+    """submit(path) -> handle; get(handle) -> np.ndarray.
+
+    Handles resolve in any order; each buffer is copied out of the pool on
+    get() and released.  With no native library, submit returns the path
+    and get falls back to np.load.
+    """
+
+    def __init__(self, n_threads: int = 4):
+        self._lib = _get_lib()
+        self._pool = (self._lib.nr_create(int(n_threads))
+                      if self._lib is not None else None)
+
+    @property
+    def is_native(self) -> bool:
+        return self._pool is not None
+
+    def submit(self, path: str):
+        if self._pool is None:
+            return path
+        jid = self._lib.nr_submit(self._pool, str(path).encode())
+        if jid < 0:
+            raise RuntimeError(f'nr_submit failed for {path}')
+        return jid
+
+    def get(self, handle) -> np.ndarray:
+        if self._pool is None:
+            return np.load(handle)
+        data = ctypes.c_void_p()
+        nbytes = ctypes.c_int64()
+        shape = (ctypes.c_int64 * 8)()
+        ndim = ctypes.c_int()
+        descr = ctypes.create_string_buffer(16)
+        fortran = ctypes.c_int()
+        rc = self._lib.nr_wait(self._pool, handle, ctypes.byref(data),
+                               ctypes.byref(nbytes), shape,
+                               ctypes.byref(ndim), descr,
+                               ctypes.byref(fortran))
+        if rc != 0:
+            self._lib.nr_free(self._pool, handle)
+            raise IOError(f'native npy read failed (job {handle})')
+        try:
+            dt = np.dtype(descr.value.decode())
+            buf = ctypes.string_at(data.value, nbytes.value)
+            arr = np.frombuffer(buf, dtype=dt)
+            shp = tuple(shape[i] for i in range(ndim.value))
+            arr = arr.reshape(shp, order='F' if fortran.value else 'C')
+        finally:
+            self._lib.nr_free(self._pool, handle)
+        return arr
+
+    def read_all(self, paths: Sequence[str]):
+        """Prefetch every path, then yield arrays in order."""
+        handles = [self.submit(p) for p in paths]
+        for h in handles:
+            yield self.get(h)
+
+    def close(self):
+        if self._pool is not None:
+            self._lib.nr_destroy(self._pool)
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

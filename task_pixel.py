@@ -30,14 +30,31 @@ from diffusion_feature_tpu.tasks.scarce.data import (  # noqa: E402
 from diffusion_feature_tpu.ops.resize import interpolate_bilinear_nchw  # noqa: E402
 
 
-def load_feature(path: str, size) -> np.ndarray:
-    """(C, H, W) .npy -> (H*W, C) rows at the working resolution."""
-    feat = np.load(path).astype(np.float32)
+def _to_rows(feat: np.ndarray, size) -> np.ndarray:
+    """(C, H, W) array -> (H*W, C) rows at the working resolution."""
+    feat = feat.astype(np.float32)
     if feat.ndim == 4:
         feat = feat[0]
     f = interpolate_bilinear_nchw(jnp.asarray(feat)[None], tuple(size))[0]
     f = np.asarray(f)
     return f.reshape(f.shape[0], -1).T
+
+
+def load_feature(path: str, size) -> np.ndarray:
+    """(C, H, W) .npy -> (H*W, C) rows at the working resolution."""
+    return _to_rows(np.load(path), size)
+
+
+def load_features(paths, size):
+    """Prefetch all dumps through the native reader pool (npyio.cpp): file
+    IO overlaps with the resize/flatten compute of the previous file."""
+    from diffusion_feature_tpu.native import AsyncNpyReader
+    reader = AsyncNpyReader(n_threads=4)
+    try:
+        for feat in reader.read_all(paths):
+            yield _to_rows(feat, size)
+    finally:
+        reader.close()
 
 
 def main(argv=None):
@@ -75,7 +92,7 @@ def main(argv=None):
     def training_matrix():
         nonlocal X, y
         if X is None:
-            X = np.concatenate([load_feature(f, size) for f in tr_f])
+            X = np.concatenate(list(load_features(tr_f, size)))
             y = np.concatenate([load_label(l, size).ravel() for l in tr_l])
             keep = y != setting['ignore_label']
             X, y = X[keep], y[keep]
@@ -101,10 +118,10 @@ def main(argv=None):
         ensemble.append(member)
         print(f'model {i}: trained + saved')
 
-    # evaluate
+    # evaluate (features prefetched by the native reader pool)
     preds, gts, uncertainties = [], [], []
-    for f, l in zip(te_f, te_l):
-        rows = jnp.asarray(load_feature(f, size))
+    for rows_np, l in zip(load_features(te_f, size), te_l):
+        rows = jnp.asarray(rows_np)
         pred, u = predict_labels(ensemble, rows, tuple(size), ncls)
         preds.append(pred)
         gts.append(load_label(l, size))

@@ -89,3 +89,64 @@ class TestPrefetchLoader:
         loader = PrefetchLoader(['a'], 1, bad)
         with pytest.raises(IOError):
             list(loader)
+
+
+class TestAsyncNpyReader:
+    def test_native_builds(self):
+        from diffusion_feature_tpu.native import native_reader_available
+        assert native_reader_available(), 'g++ toolchain expected in this env'
+
+    @pytest.mark.parametrize('dtype,order', [
+        (np.float32, 'C'), (np.float16, 'C'), (np.uint8, 'C'),
+        (np.int64, 'C'), (np.float32, 'F'),
+    ])
+    def test_round_trip_matches_np_load(self, tmp_path, dtype, order):
+        from diffusion_feature_tpu.native import AsyncNpyReader
+        rng = np.random.RandomState(3)
+        arr = (rng.rand(4, 6, 5) * 100).astype(dtype)
+        arr = np.asarray(arr, order=order)
+        path = str(tmp_path / f'{np.dtype(dtype).name}_{order}.npy')
+        np.save(path, arr)
+        reader = AsyncNpyReader(n_threads=2)
+        assert reader.is_native
+        h = reader.submit(path)
+        back = reader.get(h)
+        reader.close()
+        assert back.dtype == arr.dtype and back.shape == arr.shape
+        assert np.array_equal(back, arr)
+
+    def test_out_of_order_and_many(self, tmp_path):
+        from diffusion_feature_tpu.native import AsyncNpyReader
+        rng = np.random.RandomState(4)
+        arrays, paths = [], []
+        for i in range(12):
+            a = rng.rand(8, 3).astype(np.float32)
+            p = str(tmp_path / f'a{i}.npy')
+            np.save(p, a)
+            arrays.append(a)
+            paths.append(p)
+        reader = AsyncNpyReader(n_threads=4)
+        handles = [reader.submit(p) for p in paths]
+        # resolve in reverse submission order
+        for h, a in list(zip(handles, arrays))[::-1]:
+            assert np.array_equal(reader.get(h), a)
+        reader.close()
+
+    def test_missing_file_raises(self, tmp_path):
+        from diffusion_feature_tpu.native import AsyncNpyReader
+        reader = AsyncNpyReader(n_threads=1)
+        if not reader.is_native:
+            pytest.skip('no native toolchain')
+        h = reader.submit(str(tmp_path / 'absent.npy'))
+        with pytest.raises(IOError):
+            reader.get(h)
+        reader.close()
+
+    def test_scalar_shape(self, tmp_path):
+        from diffusion_feature_tpu.native import AsyncNpyReader
+        path = str(tmp_path / 's.npy')
+        np.save(path, np.float32(3.5))
+        reader = AsyncNpyReader(n_threads=1)
+        back = reader.get(reader.submit(path))
+        reader.close()
+        assert back.shape == () and float(back) == 3.5
