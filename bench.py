@@ -14,9 +14,12 @@ where block_until_ready does not synchronize) cannot inflate the number.
 Modes (BENCH_MODE env):
   xl (default) — the headline SDXL Ours-XL tap set; prints ONE JSON line.
   maps         — Ours-XL-t attention-path variant: SD-1.5 15-amalgamation
-                 taps + the up_cross attention store, i.e. the Pallas
-                 flash-attention score-export path (headmean kernel +
-                 aggregation) carries the measurement.
+                 taps + the up_cross attention store (head-mean
+                 cross-attention maps + size-band aggregation; the Pallas
+                 headmean kernel engages only for kernel-compatible bands,
+                 i.e. self-map stores at seq>=512 — cross maps at Sk=77
+                 head-mean through the explicit path, which is cheap
+                 there).
   both         — runs both, prints two JSON lines (xl line first).
 """
 
@@ -94,9 +97,9 @@ def bench_xl(batch, iters, img_size=512):
 
 def bench_maps(batch, iters, img_size=512):
     """Attention-path variant (Ours-XL-t third extractor): SD-1.5 with the
-    15-amalgamation tap set + the up_cross attention store — the number is
-    carried by the Pallas flash-attention score-export path (headmean
-    kernel + size-band aggregation; reference components/attention.py)."""
+    15-amalgamation tap set + the up_cross attention store (head-mean
+    score export + size-band aggregation; reference
+    components/attention.py)."""
     import jax
     import jax.numpy as jnp
     from diffusion_feature_tpu.models.unet2d import UNet2DConditionModel, SD15_UNET
