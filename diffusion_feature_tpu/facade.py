@@ -173,10 +173,22 @@ class FeatureExtractor:
                 spec = self.spec = _dc.replace(
                     spec, t5=_dc.replace(spec.t5, quantize_int8=True))
         if spec.family == 'flux':
+            # auto rule: quantize to fit UNLESS the weights are actually
+            # tp-sharded (a dp/sp-only mesh still replicates the full tree
+            # per chip) or a LoRA must merge into full-precision kernels
+            has_tp = (self.mesh is not None and 'tp' in self.mesh.axis_names
+                      and self.mesh.shape['tp'] > 1)
             use_int8 = (self._transformer_8bit
                         if self._transformer_8bit is not None
-                        else (weights is not None and self.mesh is None
+                        else (weights is not None and not has_tp
                               and not self._offline_lora))
+            if use_int8 and self._offline_lora:
+                raise ValueError(
+                    'transformer_8bit=True cannot be combined with '
+                    'offline_lora: LoRA deltas merge into full-precision '
+                    'kernels (models/lora.py), which int8 layers do not '
+                    'carry — merge the LoRA at bf16 (transformer_8bit='
+                    'False) or shard with tp instead')
             if use_int8:
                 import dataclasses as _dc
                 spec = self.spec = _dc.replace(
@@ -1255,7 +1267,7 @@ def _adapt_spec_to_checkpoint(spec: ModelSpec, weights: str) -> ModelSpec:
                 os.path.join(weights, 'text_encoder', 'config.json')):
             from .models.bert_text import BertConfig
             updates['bert'] = BertConfig.from_hf_config(
-                load_component_config(weights, 'text_encoder'))
+                load_component_config(weights, 'text_encoder'), spec.bert)
     except (OSError, ValueError, KeyError):
         return spec
     return dataclasses.replace(spec, **updates) if updates else spec

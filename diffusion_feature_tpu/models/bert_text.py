@@ -30,18 +30,21 @@ class BertConfig:
     layer_norm_eps: float = 1e-12
 
 
-def _bert_from_hf_config(d: dict) -> 'BertConfig':
+def _bert_from_hf_config(d: dict, base: 'BertConfig' = None) -> 'BertConfig':
     """Adapt from a transformers BertConfig json (checkpoint text_encoder
-    dir)."""
+    dir); keys missing from the json fall back to the caller's preset."""
+    b = base if base is not None else BertConfig()
     return BertConfig(
-        vocab_size=d.get('vocab_size', 47020),
-        hidden_size=d.get('hidden_size', 1024),
-        num_hidden_layers=d.get('num_hidden_layers', 24),
-        num_attention_heads=d.get('num_attention_heads', 16),
-        intermediate_size=d.get('intermediate_size', 4096),
-        max_position_embeddings=d.get('max_position_embeddings', 512),
-        type_vocab_size=d.get('type_vocab_size', 2),
-        layer_norm_eps=d.get('layer_norm_eps', 1e-12),
+        vocab_size=d.get('vocab_size', b.vocab_size),
+        hidden_size=d.get('hidden_size', b.hidden_size),
+        num_hidden_layers=d.get('num_hidden_layers', b.num_hidden_layers),
+        num_attention_heads=d.get('num_attention_heads',
+                                  b.num_attention_heads),
+        intermediate_size=d.get('intermediate_size', b.intermediate_size),
+        max_position_embeddings=d.get('max_position_embeddings',
+                                      b.max_position_embeddings),
+        type_vocab_size=d.get('type_vocab_size', b.type_vocab_size),
+        layer_norm_eps=d.get('layer_norm_eps', b.layer_norm_eps),
     )
 
 

@@ -46,21 +46,27 @@ class T5Config:
 
 def _t5_from_hf_config(d: dict, base: 'T5Config' = None) -> 'T5Config':
     """Adapt from a transformers T5Config json (checkpoint text_encoder dir)
-    so fine-tunes/tiny checkpoints that deviate from the preset load exactly;
-    carries the base's quantize_int8 choice."""
+    so fine-tunes/tiny checkpoints that deviate from the preset load exactly.
+    Keys MISSING from the json fall back to the caller's ``base`` preset
+    (hunyuan's mT5 differs from flux/pixart's T5-XXL in every dimension —
+    hardcoded defaults would silently build the wrong architecture);
+    quantize_int8 always carries over from base."""
+    b = base if base is not None else T5Config()
     return T5Config(
-        vocab_size=d.get('vocab_size', 32128),
-        d_model=d.get('d_model', 4096),
-        d_kv=d.get('d_kv', 64),
-        d_ff=d.get('d_ff', 10240),
-        num_layers=d.get('num_layers', 24),
-        num_heads=d.get('num_heads', 64),
+        vocab_size=d.get('vocab_size', b.vocab_size),
+        d_model=d.get('d_model', b.d_model),
+        d_kv=d.get('d_kv', b.d_kv),
+        d_ff=d.get('d_ff', b.d_ff),
+        num_layers=d.get('num_layers', b.num_layers),
+        num_heads=d.get('num_heads', b.num_heads),
         relative_attention_num_buckets=d.get(
-            'relative_attention_num_buckets', 32),
+            'relative_attention_num_buckets',
+            b.relative_attention_num_buckets),
         relative_attention_max_distance=d.get(
-            'relative_attention_max_distance', 128),
-        layer_norm_epsilon=d.get('layer_norm_epsilon', 1e-6),
-        quantize_int8=base.quantize_int8 if base is not None else False,
+            'relative_attention_max_distance',
+            b.relative_attention_max_distance),
+        layer_norm_epsilon=d.get('layer_norm_epsilon', b.layer_norm_epsilon),
+        quantize_int8=b.quantize_int8,
     )
 
 

@@ -93,19 +93,30 @@ class AsyncNpyReader:
             raise IOError(f'native npy read failed (job {handle})')
         try:
             dt = np.dtype(descr.value.decode())
-            buf = ctypes.string_at(data.value, nbytes.value)
-            arr = np.frombuffer(buf, dtype=dt)
+            # single copy out of the pool buffer into a writable array
+            # (np.load also returns writable arrays; callers mutate in place)
+            src = (ctypes.c_char * nbytes.value).from_address(data.value)
+            arr = np.frombuffer(src, dtype=dt).copy()
             shp = tuple(shape[i] for i in range(ndim.value))
             arr = arr.reshape(shp, order='F' if fortran.value else 'C')
         finally:
             self._lib.nr_free(self._pool, handle)
         return arr
 
-    def read_all(self, paths: Sequence[str]):
-        """Prefetch every path, then yield arrays in order."""
-        handles = [self.submit(p) for p in paths]
-        for h in handles:
-            yield self.get(h)
+    def read_all(self, paths: Sequence[str], window: int = None):
+        """Yield arrays in path order, keeping at most ``window`` reads in
+        flight (bounded backpressure: GB-scale dumps must not all buffer in
+        the pool at once while the consumer computes)."""
+        if window is None:
+            window = 8
+        paths = list(paths)
+        handles = []
+        nxt = 0
+        for i in range(len(paths)):
+            while nxt < len(paths) and nxt - i < window:
+                handles.append(self.submit(paths[nxt]))
+                nxt += 1
+            yield self.get(handles[i])
 
     def close(self):
         if self._pool is not None:

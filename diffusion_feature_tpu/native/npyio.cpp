@@ -6,7 +6,7 @@
 // files).  This pool reads and header-parses .npy files on worker threads
 // so disk IO overlaps with the JAX compute that consumes the previous
 // file.  Results are handed back as raw payload buffers + parsed metadata;
-// Python wraps them zero-copy with np.frombuffer.
+// Python copies each payload once into a writable np array on get().
 //
 // C API (ctypes-friendly):
 //   nr_create(n_threads)                          -> opaque pool*

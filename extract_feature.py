@@ -22,6 +22,15 @@ from diffusion_feature_tpu.io.dump import save_batch  # noqa: E402
 from diffusion_feature_tpu.configs import resolve_layer_config  # noqa: E402
 
 
+def _strict_bool(s):
+    v = s.strip().lower()
+    if v in ('true', '1', 'yes'):
+        return True
+    if v in ('false', '0', 'no'):
+        return False
+    raise argparse.ArgumentTypeError(f'expected true/false, got {s!r}')
+
+
 def build_parser():
     parser = argparse.ArgumentParser()
     # package settings (reference extract_feature.py:18-29)
@@ -68,11 +77,11 @@ def build_parser():
     parser.add_argument('--sp', type=int, default=1,
                         help='sequence-parallel shard the DiT token dim over '
                              'sp devices (flux; composes with --dp/--tp)')
-    parser.add_argument('--transformer_8bit', type=lambda s: s == 'true',
-                        default=None, choices=(True, False), metavar='{true,false}',
+    parser.add_argument('--transformer_8bit', type=_strict_bool,
+                        default=None, metavar='{true,false}',
                         help='int8 weight-only flux transformer (fits 12B on '
                              'one 16-GiB chip); default auto: on for flux '
-                             'with --weights and no mesh/LoRA')
+                             'with --weights unless tp>1 or a LoRA merges')
     # debug / observability
     parser.add_argument('--show_all_layers', action='store_true')
     parser.add_argument('--profile', type=str, default=None, metavar='DIR',
@@ -174,40 +183,44 @@ def main(argv=None):
             print(f'profiler unavailable: {e}', file=sys.stderr)
 
     i = 0
-    for batch_paths, sublist in loader:
-        n_real = len(sublist)
-        if mesh is not None and n_real % args.dp != 0:
-            # dp sharding needs a divisible batch: pad by repeating the last
-            # image, slice the padding off after extraction
-            pad = args.dp - (n_real % args.dp)
-            sublist = list(sublist) + [sublist[-1]] * pad
-        features = df.extract(
-            prompts, len(sublist), sublist,
-            t=args.t,
-            denoising_from=args.denoising_from,
-            use_control=args.control is not None,
-            use_ddim_inversion=args.use_ddim_inversion,
-        )
-        # keep the device dtype; save_batch casts to the dump dtype itself
-        features = {k: np.asarray(v)[:n_real] for k, v in features.items()}
-        save_batch(
-            features, args.output_dir,
-            batch_start_index=i,
-            original_names=names[i:i + n_real],
-            split=args.split,
-            use_original_filename=args.use_original_filename,
-            sample_name_first=args.sample_name_first,
-            aggregate_output=args.aggregate_output,
-            nested=args.nested_input_dir,
-            writer=writer,
-        )
-        i += n_real
-        print(f'{i}/{len(imgs)}')
-    writer.close()
-    if profiler:
-        import jax
-        jax.profiler.stop_trace()
-        print(f'profile written to {args.profile}')
+    try:
+        for batch_paths, sublist in loader:
+            n_real = len(sublist)
+            if mesh is not None and n_real % args.dp != 0:
+                # dp sharding needs a divisible batch: pad by repeating the
+                # last image, slice the padding off after extraction
+                pad = args.dp - (n_real % args.dp)
+                sublist = list(sublist) + [sublist[-1]] * pad
+            features = df.extract(
+                prompts, len(sublist), sublist,
+                t=args.t,
+                denoising_from=args.denoising_from,
+                use_control=args.control is not None,
+                use_ddim_inversion=args.use_ddim_inversion,
+            )
+            # keep the device dtype; save_batch casts to the dump dtype
+            features = {k: np.asarray(v)[:n_real]
+                        for k, v in features.items()}
+            save_batch(
+                features, args.output_dir,
+                batch_start_index=i,
+                original_names=names[i:i + n_real],
+                split=args.split,
+                use_original_filename=args.use_original_filename,
+                sample_name_first=args.sample_name_first,
+                aggregate_output=args.aggregate_output,
+                nested=args.nested_input_dir,
+                writer=writer,
+            )
+            i += n_real
+            print(f'{i}/{len(imgs)}')
+        writer.close()
+    finally:
+        # the trace survives mid-loop failures (its whole point on long runs)
+        if profiler:
+            import jax
+            jax.profiler.stop_trace()
+            print(f'profile written to {args.profile}')
 
 
 if __name__ == '__main__':

@@ -150,3 +150,31 @@ class TestAsyncNpyReader:
         back = reader.get(reader.submit(path))
         reader.close()
         assert back.shape == () and float(back) == 3.5
+
+    def test_returned_array_is_writable(self, tmp_path):
+        """np.load returns writable arrays; the native reader must too
+        (callers mutate features in place)."""
+        from diffusion_feature_tpu.native import AsyncNpyReader
+        path = str(tmp_path / 'w.npy')
+        np.save(path, np.ones((4, 4), np.float32))
+        reader = AsyncNpyReader(n_threads=1)
+        arr = reader.get(reader.submit(path))
+        reader.close()
+        arr *= 2.0
+        assert (arr == 2.0).all()
+
+    def test_read_all_windowed_order(self, tmp_path):
+        from diffusion_feature_tpu.native import AsyncNpyReader
+        arrays, paths = [], []
+        for i in range(10):
+            a = np.full((3, 3), i, np.float32)
+            p = str(tmp_path / f'w{i}.npy')
+            np.save(p, a)
+            arrays.append(a)
+            paths.append(p)
+        reader = AsyncNpyReader(n_threads=2)
+        out = list(reader.read_all(paths, window=3))
+        reader.close()
+        assert len(out) == 10
+        for a, b in zip(out, arrays):
+            assert np.array_equal(a, b)

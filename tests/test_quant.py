@@ -249,6 +249,45 @@ class TestFacadeFluxQuant:
                              img_size=32, dtype='float32',
                              transformer_8bit=True)
 
+    def test_explicit_int8_with_lora_rejected(self, tmp_path):
+        """LoRA deltas merge into full-precision kernels; silently dropping
+        them on kernel_q layers would be wrong — must raise."""
+        from diffusion_feature_tpu import FeatureExtractor
+        with pytest.raises(ValueError, match='offline_lora'):
+            FeatureExtractor(layer={'vit-block0-out': True},
+                             version='test-flux', img_size=32,
+                             dtype='float32', transformer_8bit=True,
+                             offline_lora=str(tmp_path))
+
+
+class TestFluxQuantMeshRules:
+    """Auto-int8 must key on whether the weights are actually tp-sharded:
+    a dp/sp-only mesh still replicates the full tree per chip (code-review
+    finding: 'any mesh' disabled quantization and OOM'd dp-only flux)."""
+
+    @pytest.fixture(scope='class')
+    def flux_ckpt(self, tmp_path_factory):
+        from synth_checkpoint import write_flux_checkpoint
+        return write_flux_checkpoint(tmp_path_factory.mktemp('flux_ckpt_m'))
+
+    def test_dp_only_mesh_keeps_auto_int8(self, flux_ckpt):
+        from diffusion_feature_tpu import FeatureExtractor
+        from diffusion_feature_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(dp=2, tp=1, devices=jax.devices()[:2])
+        fe = FeatureExtractor(layer={'vit-block0-out': True}, version='flux',
+                              img_size=32, dtype='float32',
+                              weights=flux_ckpt, mesh=mesh)
+        assert fe.spec.dit.quantize_int8 is True
+
+    def test_tp_mesh_disables_auto_int8(self, flux_ckpt):
+        from diffusion_feature_tpu import FeatureExtractor
+        from diffusion_feature_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(dp=1, tp=2, devices=jax.devices()[:2])
+        fe = FeatureExtractor(layer={'vit-block0-out': True}, version='flux',
+                              img_size=32, dtype='float32',
+                              weights=flux_ckpt, mesh=mesh)
+        assert fe.spec.dit.quantize_int8 is False
+
 
 class TestFacadeT5Quant:
     def test_flux_random_init_stays_fp(self):
