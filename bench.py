@@ -33,7 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
-def bench_xl(batch, iters, img_size=512):
+def bench_xl(batch, img_size=512):
     """Headline: SDXL + Ours-XL practical taps (config_xl_practical.json)."""
     import jax
     import jax.numpy as jnp
@@ -95,7 +95,7 @@ def bench_xl(batch, iters, img_size=512):
     return step, args
 
 
-def bench_maps(batch, iters, img_size=512):
+def bench_maps(batch, img_size=512):
     """Attention-path variant (Ours-XL-t third extractor): SD-1.5 with the
     15-amalgamation tap set + the up_cross attention store (head-mean
     score export + size-band aggregation; reference
@@ -157,7 +157,7 @@ def bench_maps(batch, iters, img_size=512):
     return step, args
 
 
-def run_mode(name, step, args, batch, iters, metric, baseline):
+def run_mode(step, args, batch, iters, metric, baseline):
     import jax
     import jax.numpy as jnp
 
@@ -207,13 +207,15 @@ def main():
     mode = os.environ.get('BENCH_MODE', 'xl')
 
     baseline = 8.0  # img/s/chip north star (BASELINE.json)
+    if mode not in ('xl', 'maps', 'both'):
+        raise ValueError(f'BENCH_MODE must be xl|maps|both, got {mode!r}')
     if mode in ('xl', 'both'):
-        step, args = bench_xl(batch, iters)
-        run_mode('xl', step, args, batch, iters,
+        step, args = bench_xl(batch)
+        run_mode(step, args, batch, iters,
                  'sdxl_512_feature_extraction_throughput', baseline)
     if mode in ('maps', 'both'):
-        step, args = bench_maps(batch, iters)
-        run_mode('maps', step, args, batch, iters,
+        step, args = bench_maps(batch)
+        run_mode(step, args, batch, iters,
                  'sd15_512_attention_maps_extraction_throughput', baseline)
 
 

@@ -168,6 +168,11 @@ class FeatureExtractor:
         if getattr(spec, 't5', None) is not None:
             use_int8 = (self._t5_8bit if self._t5_8bit is not None
                         else (spec.family == 'flux' and weights is not None))
+            if use_int8 and weights is None:
+                raise ValueError(
+                    't5_8bit=True requires real weights: int8 kernels '
+                    'initialize to zeros (ops/quant.py), so a random-init '
+                    'quantized encoder would emit degenerate embeddings')
             if use_int8:
                 import dataclasses as _dc
                 spec = self.spec = _dc.replace(
@@ -189,6 +194,11 @@ class FeatureExtractor:
                     'kernels (models/lora.py), which int8 layers do not '
                     'carry — merge the LoRA at bf16 (transformer_8bit='
                     'False) or shard with tp instead')
+            if use_int8 and weights is None:
+                raise ValueError(
+                    'transformer_8bit=True requires real weights: int8 '
+                    'kernels initialize to zeros (ops/quant.py), so a '
+                    'random-init quantized transformer is degenerate')
             if use_int8:
                 import dataclasses as _dc
                 spec = self.spec = _dc.replace(
@@ -944,8 +954,8 @@ class FeatureExtractor:
         jitted = jax.jit(step)
 
         def place(params):
-            key = (id(self.mesh),
-                   tuple(id(l) for l in jax.tree.leaves(params)))
+            leaves = jax.tree.leaves(params)
+            key = (id(self.mesh), tuple(id(l) for l in leaves))
             cached = getattr(self, '_placed_params', None)
             if cached is not None and cached[0] == key:
                 return cached[1]
@@ -953,7 +963,10 @@ class FeatureExtractor:
                 lambda x, sh: jax.device_put(x, sh)
                 if getattr(x, 'ndim', None) is not None else x,
                 params, param_shardings(params))
-            self._placed_params = (key, placed)
+            # keep strong refs to the keyed leaves: pins their id()s for the
+            # cache's lifetime, so CPython id reuse after a freed tree can
+            # never produce a false hit with stale placed weights
+            self._placed_params = (key, placed, leaves)
             return placed
 
         def wrapped(params, img, *rest):

@@ -205,6 +205,14 @@ class ControlNetSpec:
                  cond_embed_channels: Tuple[int, ...] = (16, 32, 96, 256),
                  weights_root=None):
         self.kind = kind
+        if isinstance(preprocessor, str) and kind != 'depth':
+            # a path argument is only meaningful for depth (its estimator
+            # checkpoint dir); silently falling back to the builtin
+            # preprocessor would ignore the user's input
+            raise ValueError(
+                f"controlnet kind {kind!r} takes a callable preprocessor, "
+                f"not a path ({preprocessor!r}); paths select the depth "
+                f"estimator checkpoint for kind='depth'")
         if preprocessor is not None and not isinstance(preprocessor, str):
             self.preprocess = preprocessor
         elif kind in ('canny', 'canny-xl'):

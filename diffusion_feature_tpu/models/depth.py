@@ -236,6 +236,14 @@ class DPTDepthModel(nn.Module):
         fused = None
         for j, h in enumerate(reversed(feats)):
             if fused is not None:
+                if h.shape[1:3] != fused.shape[1:3]:
+                    # odd patch grids: the 2x-upsampled carry overshoots the
+                    # lateral by one; transformers' DPTFeatureFusionLayer
+                    # bilinearly resizes the lateral (align_corners=False)
+                    # to the carry's size before residual_layer1
+                    h = jax.image.resize(
+                        h, (h.shape[0],) + fused.shape[1:3] + (h.shape[3],),
+                        method='bilinear').astype(h.dtype)
                 fused = fused + PreActResidual(
                     cfg.fusion_hidden_size, dtype=self.dtype,
                     name=f'fusion_{j}_res1')(h)

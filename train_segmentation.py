@@ -150,7 +150,10 @@ def main(argv=None):
         cfg = json.load(f)
     if args.crop_size is None:
         args.crop_size = int(cfg.get('crop_size', [512, 512])[0])
-    slide_stride = tuple(cfg.get('stride', [512, 512]))
+    # stride > crop would leave uncovered bands in slide_inference
+    # (0-count pixels -> 0/0 logits); clamp to the effective crop
+    slide_stride = tuple(min(int(s), args.crop_size)
+                         for s in cfg.get('stride', [512, 512]))
     if isinstance(cfg['diffusion_feature'], list):   # multi-model ensemble
         feature_layers = [[[(lid, int(c)) for lid, c in lvl] for lvl in mfl]
                           for mfl in cfg['feature_layers']]
