@@ -157,6 +157,66 @@ def bench_maps(batch, img_size=512):
     return step, args
 
 
+def bench_pixart(batch, img_size=512):
+    """DiT-family variant: PixArt-Sigma-512 single-step extraction with a
+    block-output tap set (seq-1024 transformer, 28 layers, SDXL VAE) — the
+    throughput witness that the framework's DiT path is fast, not just the
+    U-Nets."""
+    import jax
+    import jax.numpy as jnp
+    from diffusion_feature_tpu.models.dit_pixart import (
+        PixArtTransformer2D, PIXART_SIGMA_512)
+    from diffusion_feature_tpu.models.vae import AutoencoderKL, SDXL_VAE
+    from diffusion_feature_tpu.taps import TapSpec, flatten_taps
+    from diffusion_feature_tpu.store import postprocess_taps
+    from diffusion_feature_tpu.schedulers import DPMSolverMultistepScheduler
+    from diffusion_feature_tpu.models.registry import PIXART_SCHED
+
+    dtype = jnp.bfloat16
+    taps = TapSpec.from_config({
+        'vit-block13-out': True,
+        'vit-block20-out': True,
+        'vit-block20-cross-q': True,
+        'vit-block27-out': True,
+    })
+    dit = PixArtTransformer2D(cfg=PIXART_SIGMA_512, dtype=dtype, taps=taps)
+    vae = AutoencoderKL(cfg=SDXL_VAE, dtype=dtype)
+    sched = DPMSolverMultistepScheduler(PIXART_SCHED)
+    state = sched.set_timesteps(1000)
+    timesteps, _ = sched.get_timesteps(state, 1000, 50 / 1000)
+    latent_t = float(timesteps[0])
+
+    lat = img_size // 8
+    rng = jax.random.PRNGKey(0)
+    ctx1 = jnp.zeros((1, 300, 4096), dtype)
+    mask1 = jnp.ones((1, 300), jnp.int32)
+    dit_params = PixArtTransformer2D(cfg=PIXART_SIGMA_512, dtype=dtype).init(
+        rng, jnp.zeros((1, 4, lat, lat), dtype), 50, ctx1, mask1)['params']
+    vae_params = vae.init(rng, jnp.zeros((1, 3, img_size, img_size), dtype),
+                          method=AutoencoderKL.full_pass)['params']
+    to_bf16 = lambda t: jax.tree.map(
+        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, t)
+    dit_params = to_bf16(dit_params)
+    vae_params = to_bf16(vae_params)
+
+    def step(dit_params, vae_params, img, ctx, mask, noise_rng):
+        r1, r2 = jax.random.split(noise_rng)
+        latents = vae.apply({'params': vae_params}, img, r1)
+        noise = jax.random.normal(r2, latents.shape, latents.dtype)
+        latents = sched.add_noise(state, latents, noise, latent_t)
+        lat_in = sched.scale_model_input(state, latents, latent_t)
+        _, tap_state = dit.apply(
+            {'params': dit_params}, lat_in, latent_t, ctx, mask,
+            mutable=['taps'])
+        return postprocess_taps(flatten_taps(tap_state['taps']))
+
+    img = jax.random.uniform(rng, (batch, 3, img_size, img_size), dtype) * 2 - 1
+    ctx = jnp.ones((batch, 300, 4096), dtype)
+    mask = jnp.ones((batch, 300), jnp.int32)
+    args = (dit_params, vae_params, img, ctx, mask)
+    return step, args
+
+
 def run_mode(step, args, batch, iters, metric, baseline):
     import jax
     import jax.numpy as jnp
@@ -207,16 +267,21 @@ def main():
     mode = os.environ.get('BENCH_MODE', 'xl')
 
     baseline = 8.0  # img/s/chip north star (BASELINE.json)
-    if mode not in ('xl', 'maps', 'both'):
-        raise ValueError(f'BENCH_MODE must be xl|maps|both, got {mode!r}')
-    if mode in ('xl', 'both'):
+    if mode not in ('xl', 'maps', 'pixart', 'both', 'all'):
+        raise ValueError(
+            f'BENCH_MODE must be xl|maps|pixart|both|all, got {mode!r}')
+    if mode in ('xl', 'both', 'all'):
         step, args = bench_xl(batch)
         run_mode(step, args, batch, iters,
                  'sdxl_512_feature_extraction_throughput', baseline)
-    if mode in ('maps', 'both'):
+    if mode in ('maps', 'both', 'all'):
         step, args = bench_maps(batch)
         run_mode(step, args, batch, iters,
                  'sd15_512_attention_maps_extraction_throughput', baseline)
+    if mode in ('pixart', 'all'):
+        step, args = bench_pixart(batch)
+        run_mode(step, args, batch, iters,
+                 'pixart_sigma_512_feature_extraction_throughput', baseline)
 
 
 if __name__ == '__main__':
