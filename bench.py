@@ -20,7 +20,9 @@ Modes (BENCH_MODE env):
                  i.e. self-map stores at seq>=512 — cross maps at Sk=77
                  head-mean through the explicit path, which is cheap
                  there).
-  both         — runs both, prints two JSON lines (xl line first).
+  pixart       — DiT-family variant: PixArt-Sigma-512 extraction.
+  both         — xl + maps, two JSON lines (xl first).
+  all          — xl + maps + pixart.
 """
 
 import json
@@ -217,13 +219,15 @@ def bench_pixart(batch, img_size=512):
     return step, args
 
 
-def run_mode(step, args, batch, iters, metric, baseline):
+def run_mode(step, args, batch, iters, metric, baseline, img_idx=2):
+    """``img_idx`` names which positional arg is the image batch — the one
+    perturbed per iteration so nothing (especially the VAE encode) is
+    loop-invariant and hoistable by XLA."""
     import jax
     import jax.numpy as jnp
 
     def run(*all_args):
         *model_args, rng = all_args
-        img_idx = 2                      # (unet_params, vae_params, img, ...)
 
         def body(i, carry):
             rng, acc = carry
@@ -273,15 +277,18 @@ def main():
     if mode in ('xl', 'both', 'all'):
         step, args = bench_xl(batch)
         run_mode(step, args, batch, iters,
-                 'sdxl_512_feature_extraction_throughput', baseline)
+                 'sdxl_512_feature_extraction_throughput', baseline,
+                 img_idx=2)        # (unet_params, vae_params, img, ...)
     if mode in ('maps', 'both', 'all'):
         step, args = bench_maps(batch)
         run_mode(step, args, batch, iters,
-                 'sd15_512_attention_maps_extraction_throughput', baseline)
+                 'sd15_512_attention_maps_extraction_throughput', baseline,
+                 img_idx=2)        # (unet_params, vae_params, img, ctx)
     if mode in ('pixart', 'all'):
         step, args = bench_pixart(batch)
         run_mode(step, args, batch, iters,
-                 'pixart_sigma_512_feature_extraction_throughput', baseline)
+                 'pixart_sigma_512_feature_extraction_throughput', baseline,
+                 img_idx=2)        # (dit_params, vae_params, img, ...)
 
 
 if __name__ == '__main__':

@@ -42,11 +42,6 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P('dp'))
 
 
-def token_sharding(mesh: Mesh) -> NamedSharding:
-    """(B, S, D) activations: batch over dp, tokens over sp."""
-    return NamedSharding(mesh, P('dp', 'sp', None))
-
-
 def has_sp(mesh: Optional[Mesh]) -> bool:
     return (mesh is not None and 'sp' in mesh.axis_names
             and mesh.shape['sp'] > 1)
@@ -75,12 +70,16 @@ def _param_pspec(path: Tuple[str, ...], value) -> P:
                    'add_v_proj', 'proj', 'net_0_proj', 'proj_mlp')
     # row-parallel (shard input features): output projections
     row = name in ('to_out_0', 'to_add_out', 'net_2', 'proj_out')
-    if leaf == 'kernel' and value.ndim == 2:
+    # int8 weight-only layers (ops/quant.Int8Dense) shard exactly like
+    # full-precision kernels; their per-OUTPUT-channel 'scale' follows the
+    # output-feature axis (sharded for col, replicated for row — a
+    # row-parallel layer keeps every output channel on each chip)
+    if leaf in ('kernel', 'kernel_q') and value.ndim == 2:
         if col:
             return P(None, 'tp')
         if row:
             return P('tp', None)
-    if leaf == 'bias' and col and value.ndim == 1:
+    if leaf in ('bias', 'scale') and col and value.ndim == 1:
         return P('tp')
     return P()
 

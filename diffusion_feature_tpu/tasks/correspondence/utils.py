@@ -173,9 +173,11 @@ def points_to_patches(source_points: np.ndarray, num_patches: int,
 
 def chunk_cosine_sim(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """Cosine similarity between descriptor sets (B, 1, T, D) -> (B, 1, Tx, Ty)
-    (reference chunk_cosine_sim semantics, one chunk per head dim)."""
-    xn = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
-    yn = y / jnp.linalg.norm(y, axis=-1, keepdims=True)
+    (reference chunk_cosine_sim semantics, one chunk per head dim).  Norms
+    clamp at torch.nn.CosineSimilarity's eps=1e-8 so an all-zero descriptor
+    yields 0 similarity, not NaN."""
+    xn = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-8)
+    yn = y / jnp.maximum(jnp.linalg.norm(y, axis=-1, keepdims=True), 1e-8)
     return jnp.einsum('bhtd,bhsd->bhts', xn, yn)
 
 

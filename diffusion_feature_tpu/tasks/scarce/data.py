@@ -105,14 +105,17 @@ def colorize_mask(mask: np.ndarray, palette: np.ndarray) -> np.ndarray:
     return palette[safe]
 
 
-def save_predictions(preds, out_dir: str, num_classes: int, names=None):
+def save_predictions(preds, out_dir: str, category, names=None):
     """Write raw + colorized prediction PNGs (reference
-    pixel_classifier.save_predictions)."""
+    pixel_classifier.save_predictions); ``category`` is the dataset name so
+    the hand-picked per-dataset palette colors the visualizations exactly
+    like the reference (get_palette(args['category']),
+    pixel_classifier.py:111) — an int falls back to the HSV wheel."""
     import os
     from PIL import Image
     os.makedirs(os.path.join(out_dir, 'predictions'), exist_ok=True)
     os.makedirs(os.path.join(out_dir, 'visualizations'), exist_ok=True)
-    palette = get_palette(num_classes)
+    palette = get_palette(category)
     paths = []
     for i, pred in enumerate(preds):
         name = names[i] if names else f'pred_{i}'

@@ -214,9 +214,10 @@ def main(argv=None):
             )
             i += n_real
             print(f'{i}/{len(imgs)}')
-        writer.close()
     finally:
-        # the trace survives mid-loop failures (its whole point on long runs)
+        # dumps already submitted must land on disk, and the trace must
+        # survive mid-loop failures (its whole point on long runs)
+        writer.close()
         if profiler:
             import jax
             jax.profiler.stop_trace()

@@ -128,7 +128,7 @@ def main(argv=None):
         uncertainties.append(u)
     from diffusion_feature_tpu.tasks.scarce.data import save_predictions
     names = [os.path.splitext(os.path.basename(f))[0] for f in te_f]
-    save_predictions(preds, args.exp_dir, ncls, names)
+    save_predictions(preds, args.exp_dir, args.category, names)
     ious, miou = compute_iou(preds, gts, ncls,
                              ignore_label=setting['ignore_label'])
     print('per-class IoU:', {k: round(v, 4) for k, v in ious.items()})

@@ -185,3 +185,16 @@ class TestScarceViz:
         import os
         assert os.path.exists(tmp_path / 'predictions' / 'x.png')
         assert os.path.exists(tmp_path / 'visualizations' / 'x.png')
+
+    def test_save_predictions_uses_dataset_palette(self, tmp_path):
+        """The production caller passes the category string so the
+        hand-picked per-dataset palette colors the output (reference
+        pixel_classifier.py:111), not the HSV-wheel fallback."""
+        from PIL import Image
+        from diffusion_feature_tpu.tasks.scarce.data import (
+            save_predictions, get_palette)
+        m = np.full((4, 4), 1, np.uint8)
+        save_predictions([m], str(tmp_path), 'horse_21', ['h'])
+        img = np.asarray(Image.open(tmp_path / 'visualizations' / 'h.png'))
+        expected = get_palette('horse_21')[1]
+        assert (img.reshape(-1, 3) == expected).all()

@@ -286,6 +286,39 @@ class TestFluxQuantMeshRules:
                               weights=flux_ckpt, mesh=mesh)
         assert fe.spec.dit.quantize_int8 is False
 
+    def test_explicit_int8_with_tp_shards_and_matches(self, flux_ckpt):
+        """Explicit transformer_8bit=True on a tp mesh: kernel_q leaves must
+        actually shard over tp (int8 layers follow the same col/row rules as
+        fp kernels; per-output-channel scales follow the output axis) and
+        features must match the single-device int8 extraction."""
+        from PIL import Image
+        from jax.sharding import PartitionSpec as P
+        from flax import traverse_util
+        from diffusion_feature_tpu import FeatureExtractor
+        from diffusion_feature_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(dp=2, tp=2, devices=jax.devices()[:4])
+        kw = dict(layer={'vit-block0-out': True}, version='flux',
+                  img_size=32, dtype='float32', weights=flux_ckpt)
+        fe_tp = FeatureExtractor(mesh=mesh, transformer_8bit=True, **kw)
+        assert fe_tp.spec.dit.quantize_int8 is True
+        fe_1 = FeatureExtractor(**kw)
+        imgs = [Image.fromarray((np.random.RandomState(i).rand(32, 32, 3)
+                                 * 255).astype('uint8')) for i in range(2)]
+        fe_tp._rng = jax.random.PRNGKey(5)
+        fe_1._rng = jax.random.PRNGKey(5)
+        f1 = fe_tp.extract('a dog', 2, imgs, t=500)
+        f2 = fe_1.extract('a dog', 2, imgs, t=500)
+        a = np.asarray(f1['vit-block0-out'], np.float32)
+        b = np.asarray(f2['vit-block0-out'], np.float32)
+        assert np.allclose(a, b, rtol=0.02, atol=0.02)
+        placed = fe_tp._placed_params[1]
+        flat = {'/'.join(k): v for k, v in
+                traverse_util.flatten_dict(placed['unet']).items()}
+        q = flat['transformer_blocks_0/attn/to_q/kernel_q']
+        assert q.sharding.spec == P(None, 'tp')
+        s = flat['transformer_blocks_0/attn/to_q/scale']
+        assert s.sharding.spec == P('tp')
+
 
 class TestFacadeT5Quant:
     def test_flux_random_init_stays_fp(self):
