@@ -6,6 +6,7 @@ import os
 
 import numpy as np
 import pytest
+import jax
 import jax.numpy as jnp
 
 from diffusion_feature_tpu.taps import TapSpec, child_id, flatten_taps
@@ -338,3 +339,120 @@ class TestWordPieceCJK:
         ids, _ = tok('猫草cat')
         v = {w: i for i, w in enumerate(vocab)}
         assert ids[0][:5] == [v['[CLS]'], v['猫'], v['草'], v['cat'], v['[SEP]']]
+
+
+class TestDPMSolverStepClosedForm:
+    """Pin the DPM-Solver++ (2M) update math (the denoising_from multi-step
+    path for the PixArt family) against the closed forms of the paper /
+    diffusers implementation."""
+
+    def _sched(self):
+        from diffusion_feature_tpu.schedulers import (
+            DPMSolverMultistepScheduler, SchedulerConfig)
+        return DPMSolverMultistepScheduler(SchedulerConfig())
+
+    def test_first_step_is_first_order_ddim_like(self):
+        sched = self._sched()
+        state = sched.set_timesteps(20)
+        t = int(state.timesteps[0])
+        p = int(state.timesteps[1])
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(1, 4, 8, 8).astype(np.float32))
+        eps = jnp.asarray(rng.randn(1, 4, 8, 8).astype(np.float32))
+        prev, st2 = sched.step(state, eps, t, x)
+
+        a = np.sqrt(sched.alphas_cumprod)
+        s = np.sqrt(1 - sched.alphas_cumprod)
+        lam = np.log(a) - np.log(s)
+        x0 = (np.asarray(x) - s[t] * np.asarray(eps)) / a[t]
+        h = lam[p] - lam[t]
+        want = (s[p] / s[t]) * np.asarray(x) - a[p] * np.expm1(-h) * x0
+        np.testing.assert_allclose(np.asarray(prev), want, rtol=1e-5,
+                                   atol=1e-5)
+        assert len(st2.ets) == 1
+
+    def test_second_step_uses_2m_midpoint_correction(self):
+        sched = self._sched()
+        state = sched.set_timesteps(20)
+        t0 = int(state.timesteps[0])
+        t1 = int(state.timesteps[1])
+        t2 = int(state.timesteps[2])
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(1, 4, 8, 8).astype(np.float32))
+        e0 = jnp.asarray(rng.randn(1, 4, 8, 8).astype(np.float32))
+        e1 = jnp.asarray(rng.randn(1, 4, 8, 8).astype(np.float32))
+        x1, st = sched.step(state, e0, t0, x)
+        x2, _ = sched.step(st, e1, t1, x1)
+
+        a = np.sqrt(sched.alphas_cumprod)
+        s = np.sqrt(1 - sched.alphas_cumprod)
+        lam = np.log(a) - np.log(s)
+        x0_0 = (np.asarray(x) - s[t0] * np.asarray(e0)) / a[t0]
+        x0_1 = (np.asarray(x1) - s[t1] * np.asarray(e1)) / a[t1]
+        h = lam[t2] - lam[t1]
+        h_prev = lam[t1] - lam[t0]
+        r = h_prev / h
+        d = (1 + 1 / (2 * r)) * x0_1 - (1 / (2 * r)) * x0_0
+        want = (s[t2] / s[t1]) * np.asarray(x1) - a[t2] * np.expm1(-h) * d
+        np.testing.assert_allclose(np.asarray(x2), want, rtol=1e-5,
+                                   atol=1e-5)
+
+
+class TestDenoisingFrom:
+    """extract(denoising_from=...) — the reference's _denoise multi-step
+    loop (diffusion_feature.py:592-675): denoise from a higher timestep down
+    to t, then extract at t."""
+
+    def _fe(self, version='test-sd'):
+        from diffusion_feature_tpu import FeatureExtractor
+        return FeatureExtractor(layer={'unet-out': True}, version=version,
+                                img_size=64, dtype='float32', seed=0)
+
+    def test_runs_and_differs_from_plain_t(self):
+        from PIL import Image
+        fe = self._fe()
+        img = [Image.fromarray((np.random.RandomState(0).rand(64, 64, 3)
+                                * 255).astype('uint8'))]
+        prompts = fe.encode_prompt('a cat')
+        fe._rng = jax.random.PRNGKey(3)
+        plain = fe.extract(prompts, 1, img, t=50)['unet-out']
+        fe._rng = jax.random.PRNGKey(3)
+        # 80-50 <= 50 exercises the fine-grained 1000-step branch with a
+        # compile-friendly ~30-step unroll (the >50 branch is covered by
+        # the pixart test below)
+        multi = fe.extract(prompts, 1, img, t=50,
+                           denoising_from=80)['unet-out']
+        a = np.asarray(plain, np.float32)
+        b = np.asarray(multi, np.float32)
+        assert np.isfinite(b).all()
+        assert a.shape == b.shape
+        # the multi-step path really denoises: features differ from plain t
+        assert not np.allclose(a, b)
+
+    def test_deterministic_given_rng(self):
+        from PIL import Image
+        fe = self._fe()
+        img = [Image.fromarray((np.random.RandomState(1).rand(64, 64, 3)
+                                * 255).astype('uint8'))]
+        prompts = fe.encode_prompt('a cat')
+        fe._rng = jax.random.PRNGKey(4)
+        a = np.asarray(fe.extract(prompts, 1, img, t=50,
+                                  denoising_from=80)['unet-out'], np.float32)
+        fe._rng = jax.random.PRNGKey(4)
+        b = np.asarray(fe.extract(prompts, 1, img, t=50,
+                                  denoising_from=80)['unet-out'], np.float32)
+        np.testing.assert_allclose(a, b)
+
+    def test_pixart_dpmsolver_path(self):
+        """denoising_from through the DPM-Solver 2M multistep updates."""
+        from PIL import Image
+        from diffusion_feature_tpu import FeatureExtractor
+        fe = FeatureExtractor(layer={'vit-block0-out': True},
+                              version='test-pixart', img_size=64,
+                              dtype='float32', seed=0)
+        img = [Image.fromarray((np.random.RandomState(2).rand(64, 64, 3)
+                                * 255).astype('uint8'))]
+        prompts = fe.encode_prompt('a cat')
+        feats = fe.extract(prompts, 1, img, t=50, denoising_from=300)
+        arr = np.asarray(feats['vit-block0-out'], np.float32)
+        assert np.isfinite(arr).all()
