@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Full-size golden parity: the REAL SD-1.5 U-Net architecture (860M params)
+with fixed random torch weights, converted through models/convert.py, one
+fp32 forward on each side, EVERY tap value compared.
+
+The tiny-config harness (tests/test_golden_parity.py) pins the block math;
+this scales the same oracle to the production architecture, so shape-derived
+bugs that only appear at real channel counts / depths (head splits at 8x40,
+level-3 no-attention blocks, 4-level skip bookkeeping) are covered too.
+
+Runs the flax side on the default JAX platform (TPU under axon; pass
+JAX_PLATFORMS=cpu to force host) and the torch side on CPU.  Not part of
+the CPU test suite — a single full-size fp32 compile takes minutes on this
+box — run it once per round and record the result in PARITY.md:
+
+    python tools/golden_fullsize.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), 'tests'))
+
+import numpy as np
+
+
+def main():
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update('jax_default_matmul_precision', 'float32')
+
+    import torch_ref as tr
+    from diffusion_feature_tpu.models.unet2d import (
+        UNet2DConditionModel, SD15_UNET)
+    from diffusion_feature_tpu.models.convert import convert_torch_state
+    from diffusion_feature_tpu.taps import TapSpec, flatten_taps
+
+    cfg = SD15_UNET
+    tcfg = dict(
+        in_channels=cfg.in_channels, out_channels=cfg.out_channels,
+        block_out_channels=cfg.block_out_channels,
+        down_block_types=cfg.down_block_types,
+        up_block_types=cfg.up_block_types,
+        layers_per_block=cfg.layers_per_block,
+        num_attention_heads=cfg.num_attention_heads,
+        transformer_layers_per_block=cfg.transformer_layers_per_block,
+        cross_attention_dim=cfg.cross_attention_dim,
+        use_linear_projection=cfg.use_linear_projection,
+        norm_eps=cfg.norm_eps)
+
+    torch.manual_seed(0)
+    t0 = time.time()
+    ref = tr.UNet2DConditionModel(tcfg).eval()
+    n_params = sum(p.numel() for p in ref.parameters())
+    print(f'torch SD-1.5 U-Net built: {n_params/1e6:.0f}M params '
+          f'({time.time()-t0:.1f}s)')
+
+    ours = UNet2DConditionModel(cfg=cfg, taps=TapSpec.all())
+    rng = np.random.RandomState(5)
+    sample = rng.randn(1, 4, 64, 64).astype(np.float32)
+    ctx = rng.randn(1, 77, cfg.cross_attention_dim).astype(np.float32)
+
+    t0 = time.time()
+    template = jax.eval_shape(
+        lambda: UNet2DConditionModel(cfg=cfg).init(
+            jax.random.PRNGKey(0), jnp.asarray(sample), 50.0,
+            jnp.asarray(ctx))['params'])
+    # convert directly into the template's shapes (no full random init pass)
+    params, missing, unused = convert_torch_state(
+        tr.state_dict_numpy(ref), template)
+    assert not unused, f'unmapped torch keys: {unused[:5]}'
+    print(f'weights converted ({time.time()-t0:.1f}s)')
+
+    t0 = time.time()
+    out, tap_state = ours.apply({'params': params}, jnp.asarray(sample), 50.0,
+                                jnp.asarray(ctx),
+                                mutable=['taps', 'attn_store'])
+    flat = {k: np.asarray(v, np.float32)
+            for k, v in flatten_taps(tap_state['taps']).items()}
+    out = np.asarray(out, np.float32)
+    print(f'flax forward on {jax.devices()[0].platform}: '
+          f'{len(flat)} taps ({time.time()-t0:.1f}s)')
+
+    t0 = time.time()
+    ref_taps = {}
+    with torch.no_grad():
+        ref_out = ref(torch.tensor(sample), 50.0, torch.tensor(ctx),
+                      taps=ref_taps)
+    print(f'torch forward: ({time.time()-t0:.1f}s)')
+
+    worst = ('', 0.0)
+    n_checked = 0
+    for k, v in flat.items():
+        assert k in ref_taps, f'tap {k} missing from torch oracle'
+        r = ref_taps[k].detach().numpy()
+        assert v.shape == r.shape, (k, v.shape, r.shape)
+        scale = max(np.abs(r).max(), 1e-6)
+        rel = float(np.abs(v - r).max() / scale)
+        if rel > worst[1]:
+            worst = (k, rel)
+        n_checked += 1
+    out_rel = float(np.abs(out - ref_out.detach().numpy()).max()
+                    / max(np.abs(ref_out.detach().numpy()).max(), 1e-6))
+    print(f'checked {n_checked} taps; worst max-rel-err: '
+          f'{worst[1]:.2e} at {worst[0]!r}; unet-out: {out_rel:.2e}')
+    tol = 2e-3   # fp32 accumulation noise across 860M-param depth
+    bad = worst[1] > tol or out_rel > tol
+    print('FULLSIZE GOLDEN:', 'FAIL' if bad else 'PASS')
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == '__main__':
+    main()
