@@ -36,11 +36,12 @@ def main():
 
     import torch_ref as tr
     from diffusion_feature_tpu.models.unet2d import (
-        UNet2DConditionModel, SD15_UNET)
+        UNet2DConditionModel, SD15_UNET, SDXL_UNET)
     from diffusion_feature_tpu.models.convert import convert_torch_state
     from diffusion_feature_tpu.taps import TapSpec, flatten_taps
 
-    cfg = SD15_UNET
+    model = sys.argv[1] if len(sys.argv) > 1 else '1-5'
+    cfg = {'1-5': SD15_UNET, 'xl': SDXL_UNET}[model]
     tcfg = dict(
         in_channels=cfg.in_channels, out_channels=cfg.out_channels,
         block_out_channels=cfg.block_out_channels,
@@ -52,24 +53,41 @@ def main():
         cross_attention_dim=cfg.cross_attention_dim,
         use_linear_projection=cfg.use_linear_projection,
         norm_eps=cfg.norm_eps)
+    if cfg.addition_embed_type == 'text_time':
+        tcfg.update(
+            addition_embed_type='text_time',
+            addition_time_embed_dim=cfg.addition_time_embed_dim,
+            projection_class_embeddings_input_dim=
+            cfg.projection_class_embeddings_input_dim)
 
     torch.manual_seed(0)
     t0 = time.time()
     ref = tr.UNet2DConditionModel(tcfg).eval()
     n_params = sum(p.numel() for p in ref.parameters())
-    print(f'torch SD-1.5 U-Net built: {n_params/1e6:.0f}M params '
+    print(f'torch {model} U-Net built: {n_params/1e6:.0f}M params '
           f'({time.time()-t0:.1f}s)')
 
     ours = UNet2DConditionModel(cfg=cfg, taps=TapSpec.all())
     rng = np.random.RandomState(5)
     sample = rng.randn(1, 4, 64, 64).astype(np.float32)
     ctx = rng.randn(1, 77, cfg.cross_attention_dim).astype(np.float32)
+    added = added_t = None
+    if cfg.addition_embed_type == 'text_time':
+        pooled_dim = (cfg.projection_class_embeddings_input_dim
+                      - 6 * cfg.addition_time_embed_dim)
+        pooled = rng.randn(1, pooled_dim).astype(np.float32)
+        s512 = 512.0
+        time_ids = np.array([[s512, s512, 0.0, 0.0, s512, s512]], np.float32)
+        added = {'text_embeds': jnp.asarray(pooled),
+                 'time_ids': jnp.asarray(time_ids)}
+        added_t = {'text_embeds': torch.tensor(pooled),
+                   'time_ids': torch.tensor(time_ids)}
 
     t0 = time.time()
     template = jax.eval_shape(
         lambda: UNet2DConditionModel(cfg=cfg).init(
             jax.random.PRNGKey(0), jnp.asarray(sample), 50.0,
-            jnp.asarray(ctx))['params'])
+            jnp.asarray(ctx), added)['params'])
     # convert directly into the template's shapes (no full random init pass)
     params, missing, unused = convert_torch_state(
         tr.state_dict_numpy(ref), template)
@@ -78,7 +96,7 @@ def main():
 
     t0 = time.time()
     out, tap_state = ours.apply({'params': params}, jnp.asarray(sample), 50.0,
-                                jnp.asarray(ctx),
+                                jnp.asarray(ctx), added,
                                 mutable=['taps', 'attn_store'])
     flat = {k: np.asarray(v, np.float32)
             for k, v in flatten_taps(tap_state['taps']).items()}
@@ -90,7 +108,7 @@ def main():
     ref_taps = {}
     with torch.no_grad():
         ref_out = ref(torch.tensor(sample), 50.0, torch.tensor(ctx),
-                      taps=ref_taps)
+                      added_cond=added_t, taps=ref_taps)
     print(f'torch forward: ({time.time()-t0:.1f}s)')
 
     worst = ('', 0.0)
