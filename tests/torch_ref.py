@@ -1021,11 +1021,13 @@ class HunyuanAttention(nn.Module):
     per-head LayerNorm qk-norm, RoPE on q always and on k only for
     self-attention, explicit softmax with per-head 'map' tap."""
 
-    def __init__(self, dim: int, heads: int, dim_head: int, is_cross: bool):
+    def __init__(self, dim: int, heads: int, dim_head: int, is_cross: bool,
+                 kv_dim: int | None = None):
         super().__init__()
+        kv_dim = dim if kv_dim is None else kv_dim
         self.to_q = nn.Linear(dim, dim)
-        self.to_k = nn.Linear(dim, dim)
-        self.to_v = nn.Linear(dim, dim)
+        self.to_k = nn.Linear(kv_dim, dim)
+        self.to_v = nn.Linear(kv_dim, dim)
         self.norm_q = nn.LayerNorm(dim_head, eps=1e-6)
         self.norm_k = nn.LayerNorm(dim_head, eps=1e-6)
         self.to_out = nn.ModuleList([nn.Linear(dim, dim)])
@@ -1393,7 +1395,8 @@ class HunyuanDiTBlock(nn.Module):
     AdaLayerNormShift self-attention, plain-LN cross-attention, GEGLU FF."""
 
     def __init__(self, dim: int, heads: int, mlp_ratio: float,
-                 with_skip: bool, eps: float = 1e-6):
+                 with_skip: bool, eps: float = 1e-6,
+                 cross_dim: int | None = None):
         super().__init__()
         hd = dim // heads
         if with_skip:
@@ -1405,7 +1408,8 @@ class HunyuanDiTBlock(nn.Module):
         self.norm1 = n1
         self.attn1 = HunyuanAttention(dim, heads, hd, is_cross=False)
         self.norm2 = nn.LayerNorm(dim, eps=eps)
-        self.attn2 = HunyuanAttention(dim, heads, hd, is_cross=True)
+        self.attn2 = HunyuanAttention(dim, heads, hd, is_cross=True,
+                                      kv_dim=cross_dim)
         self.norm3 = nn.LayerNorm(dim, eps=eps)
         self.ff = FeedForward(dim, inner=int(dim * mlp_ratio))
         self.with_skip = with_skip
@@ -1500,7 +1504,8 @@ class HunyuanDiT2DModel(nn.Module):
         half = cfg['num_layers'] // 2
         self.blocks = nn.ModuleList([
             HunyuanDiTBlock(dim, cfg['num_attention_heads'],
-                            cfg['mlp_ratio'], with_skip=i > half)
+                            cfg['mlp_ratio'], with_skip=i > half,
+                            cross_dim=cfg['cross_attention_dim'])
             for i in range(cfg['num_layers'])])
         no = nn.Module()
         no.linear = nn.Linear(dim, 2 * dim)

@@ -27,6 +27,146 @@ sys.path.insert(0, os.path.join(
 import numpy as np
 
 
+def compare_and_report(flat, out, ref_taps, ref_out, tol=2e-3):
+    worst = ('', 0.0)
+    for k, v in flat.items():
+        assert k in ref_taps, f'tap {k} missing from torch oracle'
+        r = ref_taps[k].detach().numpy()
+        assert v.shape == r.shape, (k, v.shape, r.shape)
+        scale = max(np.abs(r).max(), 1e-6)
+        rel = float(np.abs(v - r).max() / scale)
+        if rel > worst[1]:
+            worst = (k, rel)
+    out_rel = float(np.abs(out - ref_out.detach().numpy()).max()
+                    / max(np.abs(ref_out.detach().numpy()).max(), 1e-6))
+    print(f'checked {len(flat)} taps; worst max-rel-err: '
+          f'{worst[1]:.2e} at {worst[0]!r}; model-out: {out_rel:.2e}')
+    bad = worst[1] > tol or out_rel > tol
+    print('FULLSIZE GOLDEN:', 'FAIL' if bad else 'PASS')
+    sys.exit(1 if bad else 0)
+
+
+def run_pixart():
+    """PixArt-Sigma-512: the full 28-layer / 600M DiT."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    import torch_ref as tr
+    from diffusion_feature_tpu.models.dit_pixart import (
+        PixArtTransformer2D, PIXART_SIGMA_512)
+    from diffusion_feature_tpu.models.convert import convert_torch_state
+    from diffusion_feature_tpu.taps import TapSpec, flatten_taps
+
+    cfg = PIXART_SIGMA_512
+    tcfg = dict(sample_size=cfg.sample_size, patch_size=cfg.patch_size,
+                in_channels=cfg.in_channels, out_channels=cfg.out_channels,
+                num_layers=cfg.num_layers,
+                num_attention_heads=cfg.num_attention_heads,
+                attention_head_dim=cfg.attention_head_dim,
+                caption_channels=cfg.caption_channels,
+                interpolation_scale=cfg.interpolation_scale)
+    torch.manual_seed(0)
+    t0 = time.time()
+    ref = tr.PixArtTransformer2DModel(tcfg).eval()
+    n = sum(p.numel() for p in ref.parameters())
+    print(f'torch PixArt-Sigma-512 built: {n/1e6:.0f}M params '
+          f'({time.time()-t0:.1f}s)')
+
+    ours = PixArtTransformer2D(cfg=cfg, taps=TapSpec.all())
+    rng = np.random.RandomState(6)
+    sample = rng.randn(1, cfg.in_channels, cfg.sample_size,
+                       cfg.sample_size).astype(np.float32)
+    ctx = rng.randn(1, 30, cfg.caption_channels).astype(np.float32)
+    t0 = time.time()
+    template = jax.eval_shape(
+        lambda: PixArtTransformer2D(cfg=cfg).init(
+            jax.random.PRNGKey(0), jnp.asarray(sample), 500.0,
+            jnp.asarray(ctx))['params'])
+    params, _, unused = convert_torch_state(tr.state_dict_numpy(ref), template)
+    assert not unused, f'unmapped torch keys: {unused[:5]}'
+    print(f'weights converted ({time.time()-t0:.1f}s)')
+
+    t0 = time.time()
+    out, tap_state = ours.apply({'params': params}, jnp.asarray(sample),
+                                500.0, jnp.asarray(ctx),
+                                mutable=['taps', 'attn_store'])
+    flat = {k: np.asarray(v, np.float32)
+            for k, v in flatten_taps(tap_state['taps']).items()}
+    out = np.asarray(out, np.float32)
+    print(f'flax forward on {jax.devices()[0].platform}: '
+          f'{len(flat)} taps ({time.time()-t0:.1f}s)')
+    ref_taps = {}
+    with torch.no_grad():
+        ref_out = ref(torch.tensor(sample), 500.0, torch.tensor(ctx),
+                      taps=ref_taps)
+    compare_and_report(flat, out, ref_taps, ref_out)
+
+
+def run_hunyuan():
+    """HunyuanDiT: the full 40-layer / 1.5B U-ViT DiT."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    import torch_ref as tr
+    from diffusion_feature_tpu.models.hunyuan import (
+        HunyuanDiT2D, HUNYUAN_DIT, hunyuan_rope)
+    from diffusion_feature_tpu.models.convert import convert_torch_state
+    from diffusion_feature_tpu.taps import TapSpec, flatten_taps
+
+    cfg = HUNYUAN_DIT
+    tcfg = dict(patch_size=cfg.patch_size, in_channels=cfg.in_channels,
+                out_channels=cfg.out_channels, hidden_size=cfg.hidden_size,
+                num_layers=cfg.num_layers,
+                num_attention_heads=cfg.num_attention_heads,
+                cross_attention_dim=cfg.cross_attention_dim,
+                cross_attention_dim_t5=cfg.cross_attention_dim_t5,
+                pooled_projection_dim=cfg.pooled_projection_dim,
+                text_len=cfg.text_len, text_len_t5=cfg.text_len_t5,
+                mlp_ratio=cfg.mlp_ratio, norm_eps=cfg.norm_eps)
+    torch.manual_seed(0)
+    t0 = time.time()
+    ref = tr.HunyuanDiT2DModel(tcfg).eval()
+    n = sum(p.numel() for p in ref.parameters())
+    print(f'torch HunyuanDiT built: {n/1e6:.0f}M params '
+          f'({time.time()-t0:.1f}s)')
+
+    ours = HunyuanDiT2D(cfg=cfg, taps=TapSpec.all())
+    rng = np.random.RandomState(7)
+    lat = 64                      # 512-px latent side
+    sample = rng.randn(1, cfg.in_channels, lat, lat).astype(np.float32)
+    bert = rng.randn(1, cfg.text_len, cfg.cross_attention_dim
+                     ).astype(np.float32)
+    t5 = rng.randn(1, cfg.text_len_t5, cfg.cross_attention_dim_t5
+                   ).astype(np.float32)
+    t0 = time.time()
+    template = jax.eval_shape(
+        lambda: HunyuanDiT2D(cfg=cfg).init(
+            jax.random.PRNGKey(0), jnp.asarray(sample), 50.0,
+            jnp.asarray(bert), None, jnp.asarray(t5), None)['params'])
+    params, _, unused = convert_torch_state(tr.state_dict_numpy(ref), template)
+    assert not unused, f'unmapped torch keys: {unused[:5]}'
+    print(f'weights converted ({time.time()-t0:.1f}s)')
+
+    t0 = time.time()
+    out, tap_state = ours.apply({'params': params}, jnp.asarray(sample),
+                                50.0, jnp.asarray(bert), None,
+                                jnp.asarray(t5), None,
+                                mutable=['taps', 'attn_store'])
+    flat = {k: np.asarray(v, np.float32)
+            for k, v in flatten_taps(tap_state['taps']).items()}
+    out = np.asarray(out, np.float32)
+    print(f'flax forward on {jax.devices()[0].platform}: '
+          f'{len(flat)} taps ({time.time()-t0:.1f}s)')
+    gh = lat // cfg.patch_size
+    cos_np, sin_np = hunyuan_rope(gh, cfg.head_dim, cfg.rope_base_size)
+    ref_taps = {}
+    with torch.no_grad():
+        ref_out = ref(torch.tensor(sample), 50.0, torch.tensor(bert),
+                      torch.tensor(t5), torch.tensor(cos_np),
+                      torch.tensor(sin_np), taps=ref_taps)
+    compare_and_report(flat, out, ref_taps, ref_out)
+
+
 def main():
     import torch
     import jax
@@ -41,6 +181,10 @@ def main():
     from diffusion_feature_tpu.taps import TapSpec, flatten_taps
 
     model = sys.argv[1] if len(sys.argv) > 1 else '1-5'
+    if model == 'pixart':
+        return run_pixart()
+    if model == 'hunyuan':
+        return run_hunyuan()
     cfg = {'1-5': SD15_UNET, 'xl': SDXL_UNET}[model]
     tcfg = dict(
         in_channels=cfg.in_channels, out_channels=cfg.out_channels,
