@@ -167,6 +167,64 @@ def run_hunyuan():
     compare_and_report(flat, out, ref_taps, ref_out)
 
 
+def run_if():
+    """DeepFloyd IF-I-L: the full pixel-space U-Net (best-effort preset
+    hyperparameters; a real checkpoint adapts via config.json)."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    import torch_ref as tr
+    from diffusion_feature_tpu.models.unet_if import IFUNet, IF_I_L
+    from diffusion_feature_tpu.models.convert import convert_torch_state
+    from diffusion_feature_tpu.taps import TapSpec, flatten_taps
+
+    cfg = IF_I_L
+    tcfg = dict(
+        in_channels=cfg.in_channels, out_channels=cfg.out_channels,
+        block_out_channels=cfg.block_out_channels,
+        down_block_types=cfg.down_block_types,
+        up_block_types=cfg.up_block_types,
+        layers_per_block=cfg.layers_per_block,
+        attention_head_dim=cfg.attention_head_dim,
+        cross_attention_dim=cfg.cross_attention_dim,
+        encoder_hid_dim=cfg.encoder_hid_dim,
+        addition_embed_type_num_heads=cfg.addition_embed_type_num_heads)
+    torch.manual_seed(0)
+    t0 = time.time()
+    ref = tr.IFUNet(tcfg).eval()
+    n = sum(p.numel() for p in ref.parameters())
+    print(f'torch IF-I-L U-Net built: {n/1e6:.0f}M params '
+          f'({time.time()-t0:.1f}s)')
+
+    ours = IFUNet(cfg=cfg, taps=TapSpec.all())
+    rng = np.random.RandomState(8)
+    sample = rng.randn(1, 3, cfg.sample_size, cfg.sample_size
+                       ).astype(np.float32)
+    text = rng.randn(1, 24, cfg.encoder_hid_dim).astype(np.float32)
+    t0 = time.time()
+    template = jax.eval_shape(
+        lambda: IFUNet(cfg=cfg).init(
+            jax.random.PRNGKey(0), jnp.asarray(sample), 50.0,
+            jnp.asarray(text))['params'])
+    params, _, unused = convert_torch_state(tr.state_dict_numpy(ref), template)
+    assert not unused, f'unmapped torch keys: {unused[:5]}'
+    print(f'weights converted ({time.time()-t0:.1f}s)')
+
+    t0 = time.time()
+    out, tap_state = ours.apply({'params': params}, jnp.asarray(sample),
+                                50.0, jnp.asarray(text), mutable=['taps'])
+    flat = {k: np.asarray(v, np.float32)
+            for k, v in flatten_taps(tap_state['taps']).items()}
+    out = np.asarray(out, np.float32)
+    print(f'flax forward on {jax.devices()[0].platform}: '
+          f'{len(flat)} taps ({time.time()-t0:.1f}s)')
+    ref_taps = {}
+    with torch.no_grad():
+        ref_out = ref(torch.tensor(sample), 50.0, torch.tensor(text),
+                      taps=ref_taps)
+    compare_and_report(flat, out, ref_taps, ref_out)
+
+
 def main():
     import torch
     import jax
@@ -185,6 +243,8 @@ def main():
         return run_pixart()
     if model == 'hunyuan':
         return run_hunyuan()
+    if model == 'if':
+        return run_if()
     cfg = {'1-5': SD15_UNET, 'xl': SDXL_UNET}[model]
     tcfg = dict(
         in_channels=cfg.in_channels, out_channels=cfg.out_channels,
