@@ -35,6 +35,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
+def to_bf16(tree):
+    """Cast fp32 leaves to bf16 (store weights at the compute dtype: halves
+    HBM traffic; params must stay jit *arguments*, not closure constants,
+    or they get baked into the graph)."""
+    import jax
+    import jax.numpy as jnp
+    return jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        tree)
+
+
 def bench_xl(batch, img_size=512):
     """Headline: SDXL + Ours-XL practical taps (config_xl_practical.json)."""
     import jax
@@ -70,10 +81,6 @@ def bench_xl(batch, img_size=512):
         {'text_embeds': jnp.zeros((1, 1280), dtype),
          'time_ids': jnp.zeros((1, 6), dtype)})['params']
     vae_params = vae.init(rng, sample_img, method=AutoencoderKL.full_pass)['params']
-    # store weights in bf16: halves HBM traffic, and params must be jit
-    # *arguments* (not closure constants) or they get baked into the graph
-    to_bf16 = lambda t: jax.tree.map(
-        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, t)
     unet_params = to_bf16(unet_params)
     vae_params = to_bf16(vae_params)
 
@@ -132,8 +139,6 @@ def bench_maps(batch, img_size=512):
         jnp.zeros((1, 77, 768), dtype))['params']
     vae_params = vae.init(rng, jnp.zeros((1, 3, img_size, img_size), dtype),
                           method=AutoencoderKL.full_pass)['params']
-    to_bf16 = lambda t: jax.tree.map(
-        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, t)
     unet_params = to_bf16(unet_params)
     vae_params = to_bf16(vae_params)
 
@@ -196,8 +201,6 @@ def bench_pixart(batch, img_size=512):
         rng, jnp.zeros((1, 4, lat, lat), dtype), 50, ctx1, mask1)['params']
     vae_params = vae.init(rng, jnp.zeros((1, 3, img_size, img_size), dtype),
                           method=AutoencoderKL.full_pass)['params']
-    to_bf16 = lambda t: jax.tree.map(
-        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, t)
     dit_params = to_bf16(dit_params)
     vae_params = to_bf16(vae_params)
 
@@ -219,7 +222,7 @@ def bench_pixart(batch, img_size=512):
     return step, args
 
 
-def run_mode(step, args, batch, iters, metric, baseline, img_idx=2):
+def run_mode(step, args, batch, iters, metric, baseline, img_idx):
     """``img_idx`` names which positional arg is the image batch — the one
     perturbed per iteration so nothing (especially the VAE encode) is
     loop-invariant and hoistable by XLA."""

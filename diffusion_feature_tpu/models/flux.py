@@ -436,11 +436,8 @@ class FluxTransformer2D(nn.Module):
     token_pspec: Optional[Tuple[Optional[str], Optional[str]]] = None
 
     def _constrain(self, x):
-        if self.token_pspec is None:
-            return x
-        from jax.sharding import PartitionSpec as P
-        return jax.lax.with_sharding_constraint(
-            x, P(self.token_pspec[0], self.token_pspec[1], None))
+        from ..parallel.mesh import constrain_tokens
+        return constrain_tokens(x, self.token_pspec)
 
     @nn.compact
     def __call__(self, hidden_states, timestep, encoder_hidden_states,

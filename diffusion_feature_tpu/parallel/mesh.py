@@ -47,6 +47,18 @@ def has_sp(mesh: Optional[Mesh]) -> bool:
             and mesh.shape['sp'] > 1)
 
 
+def constrain_tokens(x, token_pspec):
+    """Re-assert (batch, token, feature) sharding on a (B, S, D) activation
+    at a DiT block boundary (sequence parallelism).  ``token_pspec`` is the
+    (batch_axis, token_axis) name pair, e.g. ('dp', 'sp'); None is a no-op.
+    Requires tracing inside the mesh context (facade._jit_sharded enters
+    it)."""
+    if token_pspec is None:
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, P(token_pspec[0], token_pspec[1], None))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

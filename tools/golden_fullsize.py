@@ -314,26 +314,7 @@ def main():
         ref_out = ref(torch.tensor(sample), 50.0, torch.tensor(ctx),
                       added_cond=added_t, taps=ref_taps)
     print(f'torch forward: ({time.time()-t0:.1f}s)')
-
-    worst = ('', 0.0)
-    n_checked = 0
-    for k, v in flat.items():
-        assert k in ref_taps, f'tap {k} missing from torch oracle'
-        r = ref_taps[k].detach().numpy()
-        assert v.shape == r.shape, (k, v.shape, r.shape)
-        scale = max(np.abs(r).max(), 1e-6)
-        rel = float(np.abs(v - r).max() / scale)
-        if rel > worst[1]:
-            worst = (k, rel)
-        n_checked += 1
-    out_rel = float(np.abs(out - ref_out.detach().numpy()).max()
-                    / max(np.abs(ref_out.detach().numpy()).max(), 1e-6))
-    print(f'checked {n_checked} taps; worst max-rel-err: '
-          f'{worst[1]:.2e} at {worst[0]!r}; unet-out: {out_rel:.2e}')
-    tol = 2e-3   # fp32 accumulation noise across 860M-param depth
-    bad = worst[1] > tol or out_rel > tol
-    print('FULLSIZE GOLDEN:', 'FAIL' if bad else 'PASS')
-    sys.exit(1 if bad else 0)
+    compare_and_report(flat, out, ref_taps, ref_out)
 
 
 if __name__ == '__main__':
