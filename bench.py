@@ -12,7 +12,10 @@ dispatch-latency/async-queue artifacts (large under the axon TPU tunnel,
 where block_until_ready does not synchronize) cannot inflate the number.
 
 Modes (BENCH_MODE env):
-  xl (default) — the headline SDXL Ours-XL tap set; prints ONE JSON line.
+  all (default)— xl + maps + pixart + flux, one JSON line each (xl first),
+                 so the driver's fixed ``python bench.py`` invocation
+                 captures every tracked metric (VERDICT r2 weak-item 2).
+  xl           — the headline SDXL Ours-XL tap set.
   maps         — Ours-XL-t attention-path variant: SD-1.5 15-amalgamation
                  taps + the up_cross attention store (head-mean
                  cross-attention maps + size-band aggregation; the Pallas
@@ -21,8 +24,15 @@ Modes (BENCH_MODE env):
                  head-mean through the explicit path, which is cheap
                  there).
   pixart       — DiT-family variant: PixArt-Sigma-512 extraction.
-  both         — xl + maps, two JSON lines (xl first).
-  all          — xl + maps + pixart.
+  flux         — flagship single-chip path: Flux-dev 12B with int8
+                 weight-only block projections (the production
+                 transformer_8bit auto-on configuration) at 512².
+  both         — xl + maps.
+
+The xl line additionally reports ``compile_s`` / ``compile_cached_s`` —
+wall-clock to build the step executable (first vs immediately-after, the
+second hitting the persistent XLA compilation cache) — so compile-time
+regressions are tracked per round alongside throughput (VERDICT r2 item 7).
 """
 
 import json
@@ -222,7 +232,100 @@ def bench_pixart(batch, img_size=512):
     return step, args
 
 
-def run_mode(step, args, batch, iters, metric, baseline, img_idx):
+def bench_flux(batch, img_size=512):
+    """Flagship single-chip path: Flux-dev 12B, int8 weight-only block
+    projections (the facade's transformer_8bit auto-on configuration for
+    real weights on one chip, facade.py:180-205) + Flux VAE encode + 2x2
+    packing, text_len 512.  Weights are synthetic (random int8 kernels +
+    per-channel scales filled into the production Int8Dense param layout):
+    int8/bf16 matmul timing on TPU is value-independent, and the compute
+    graph is byte-identical to the converted-checkpoint one
+    (models/convert.py quantizes into the same kernel_q/scale leaves)."""
+    import jax
+    import jax.numpy as jnp
+    from diffusion_feature_tpu.models.flux import (
+        FluxTransformer2D, FLUX_DEV, pack_latents)
+    from diffusion_feature_tpu.models.vae import AutoencoderKL, FLUX_VAE
+    from diffusion_feature_tpu.taps import TapSpec, flatten_taps
+    from diffusion_feature_tpu.store import postprocess_taps
+    from diffusion_feature_tpu.schedulers import (
+        make_scheduler, FlowMatchConfig)
+    from diffusion_feature_tpu.schedulers.flow_match import calculate_shift
+    import dataclasses
+    import functools as ft
+
+    dtype = jnp.bfloat16
+    cfg = dataclasses.replace(FLUX_DEV, quantize_int8=True)
+    taps = TapSpec.from_config({
+        'vit-block18-out': True,        # last dual block (norm-out quirk)
+        'vit-block18-q': True,
+        'vit-block37-out': True,        # mid single block
+        'vit-block56-out': True,        # last single block
+    })
+    text_len = 512
+    lat = img_size // 8
+    grid = lat // 2
+    unet = FluxTransformer2D(cfg=cfg, grid_hw=(grid, grid),
+                             text_len=text_len, dtype=dtype, taps=taps)
+    vae = AutoencoderKL(cfg=FLUX_VAE, dtype=dtype)
+    sched = make_scheduler('flowmatch', FlowMatchConfig())
+    num_steps = 28
+    sigmas = np.linspace(1.0, 1.0 / num_steps, num_steps)
+    mu = calculate_shift(grid * grid, sched.config)
+    state = sched.set_timesteps(num_steps, mu=mu, sigmas=sigmas)
+    timesteps, _ = sched.get_timesteps(state, num_steps, 50 / 1000)
+    latent_t = float(timesteps[0])
+
+    rng = jax.random.PRNGKey(0)
+    # init the production param layout via eval_shape (no 12B zero-fill
+    # pass), then materialize each leaf with random values of its dtype
+    shapes = jax.eval_shape(
+        lambda: FluxTransformer2D(
+            cfg=cfg, grid_hw=(grid, grid), text_len=text_len,
+            dtype=dtype).init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, grid * grid, cfg.in_channels), dtype),
+                50.0, jnp.zeros((1, text_len, cfg.joint_attention_dim), dtype),
+                jnp.zeros((1, cfg.pooled_projection_dim), dtype))['params'])
+
+    leaves, treedef = jax.tree.flatten(shapes)
+    keys = jax.random.split(rng, len(leaves) + 1)
+
+    @ft.partial(jax.jit, static_argnums=(1, 2))
+    def fill(key, shape, dt):
+        if np.dtype(dt) == np.int8:
+            return jax.random.randint(key, shape, -127, 128, jnp.int8)
+        return (jax.random.normal(key, shape, jnp.float32) * 0.02).astype(dt)
+
+    unet_params = jax.tree.unflatten(
+        treedef, [fill(k, tuple(s.shape), np.dtype(s.dtype).name)
+                  for k, s in zip(keys[1:], leaves)])
+    unet_params = to_bf16(unet_params)
+    vae_params = to_bf16(vae.init(
+        keys[0], jnp.zeros((1, 3, img_size, img_size), dtype),
+        method=AutoencoderKL.full_pass)['params'])
+
+    def step(unet_params, vae_params, img, ctx, pooled, noise_rng):
+        r1, r2 = jax.random.split(noise_rng)
+        latents = vae.apply({'params': vae_params}, img, r1)
+        noise = jax.random.normal(r2, latents.shape, latents.dtype)
+        latents = sched.scale_noise(state, latents, noise, latent_t)
+        packed = pack_latents(latents)
+        _, tap_state = unet.apply(
+            {'params': unet_params}, packed, latent_t, ctx, pooled,
+            mutable=['taps'])
+        return postprocess_taps(flatten_taps(tap_state['taps']))
+
+    img = jax.random.uniform(rng, (batch, 3, img_size, img_size), dtype) * 2 - 1
+    ctx = jax.random.normal(rng, (batch, text_len, cfg.joint_attention_dim),
+                            dtype) * 0.02
+    pooled = jnp.ones((batch, cfg.pooled_projection_dim), dtype)
+    args = (unet_params, vae_params, img, ctx, pooled)
+    return step, args
+
+
+def run_mode(step, args, batch, iters, metric, baseline, img_idx,
+             report_compile=False):
     """``img_idx`` names which positional arg is the image batch — the one
     perturbed per iteration so nothing (especially the VAE encode) is
     loop-invariant and hoistable by XLA."""
@@ -247,8 +350,20 @@ def run_mode(step, args, batch, iters, metric, baseline, img_idx):
         _, acc = jax.lax.fori_loop(0, iters, body, (rng, jnp.float32(0)))
         return acc
 
-    fbench = jax.jit(run)
     full_args = args + (jax.random.PRNGKey(1),)
+    compile_fields = {}
+    if report_compile:
+        # first build: cold unless the persistent XLA cache is warm from a
+        # previous round; second build immediately after: always cache-warm
+        t0 = time.perf_counter()
+        fbench = jax.jit(run).lower(*full_args).compile()
+        compile_fields['compile_s'] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        jax.jit(run).lower(*full_args).compile()
+        compile_fields['compile_cached_s'] = round(
+            time.perf_counter() - t0, 2)
+    else:
+        fbench = jax.jit(run)
     _ = float(np.asarray(fbench(*full_args)))   # compile + warm run
     t0 = time.perf_counter()
     acc = fbench(*full_args)
@@ -262,6 +377,7 @@ def run_mode(step, args, batch, iters, metric, baseline, img_idx):
         'value': round(img_per_s, 3),
         'unit': 'img/s/chip',
         'vs_baseline': round(img_per_s / baseline, 3),
+        **compile_fields,
     }))
 
 
@@ -271,17 +387,18 @@ def main():
     on_tpu = jax.devices()[0].platform == 'tpu'
     batch = int(os.environ.get('BENCH_BATCH', '16' if on_tpu else '1'))
     iters = int(os.environ.get('BENCH_ITERS', '10' if on_tpu else '2'))
-    mode = os.environ.get('BENCH_MODE', 'xl')
+    mode = os.environ.get('BENCH_MODE', 'all')
 
     baseline = 8.0  # img/s/chip north star (BASELINE.json)
-    if mode not in ('xl', 'maps', 'pixart', 'both', 'all'):
+    if mode not in ('xl', 'maps', 'pixart', 'flux', 'both', 'all'):
         raise ValueError(
-            f'BENCH_MODE must be xl|maps|pixart|both|all, got {mode!r}')
+            f'BENCH_MODE must be xl|maps|pixart|flux|both|all, got {mode!r}')
     if mode in ('xl', 'both', 'all'):
         step, args = bench_xl(batch)
         run_mode(step, args, batch, iters,
                  'sdxl_512_feature_extraction_throughput', baseline,
-                 img_idx=2)        # (unet_params, vae_params, img, ...)
+                 img_idx=2,        # (unet_params, vae_params, img, ...)
+                 report_compile=True)
     if mode in ('maps', 'both', 'all'):
         step, args = bench_maps(batch)
         run_mode(step, args, batch, iters,
@@ -292,6 +409,15 @@ def main():
         run_mode(step, args, batch, iters,
                  'pixart_sigma_512_feature_extraction_throughput', baseline,
                  img_idx=2)        # (dit_params, vae_params, img, ...)
+    if mode in ('flux', 'all'):
+        # 12B int8 weights (11.9 GiB) leave ~4 GiB HBM for activations on a
+        # 16-GiB v5e: batch stays small
+        flux_batch = int(os.environ.get('BENCH_BATCH_FLUX',
+                                        '4' if on_tpu else '1'))
+        step, args = bench_flux(flux_batch)
+        run_mode(step, args, flux_batch, iters,
+                 'flux_dev_int8_512_feature_extraction_throughput', baseline,
+                 img_idx=2)        # (unet_params, vae_params, img, ...)
 
 
 if __name__ == '__main__':

@@ -69,6 +69,7 @@ class FeatureExtractor:
         attn_store_sizes=None,   # override the size band (tests/tiny models)
         t5_8bit=None,            # int8 T5 weights; None -> auto (flux+weights)
         transformer_8bit=None,   # int8 flux transformer; None -> auto
+        validate_layers: bool = True,  # reject unknown layer ids up front
     ):
         self.spec: ModelSpec = get_model_spec(version)
         self.version = version
@@ -130,6 +131,8 @@ class FeatureExtractor:
         self._offline_lora = offline_lora
 
         self._build_models(weights, seed, external_model)
+        if validate_layers and not self.taps.accept_all:
+            self._validate_layer_ids()
         if offline_lora:
             from .models.lora import apply_lora_to_params
             self.params['unet'] = apply_lora_to_params(
@@ -140,6 +143,41 @@ class FeatureExtractor:
             self.control_pipe = ControlNetPipeline(self, control, weights)
         else:
             self.control_pipe = None
+
+    def _validate_layer_ids(self):
+        """Fail fast on unknown layer ids with near-miss suggestions.
+
+        The reference silently drops ids the store never sees
+        (feature/components/feature_extractor.py:36): a typo'd layer yields
+        an empty feature dict with no diagnostic.  Here the weight-free
+        enumeration (jax.eval_shape over the post-checkpoint-adaptation
+        architecture) knows every valid id, so a bad request raises up front
+        instead of surfacing as a missing key after an expensive extract.
+        """
+        from .taps import is_filtered_id
+        known = set(self.show_all_layers())
+        pseudo = {'attn'}          # assembled by the facade (:492-500)
+        if self.spec.vae is not None:
+            pseudo.add('vae-out')  # diffusion_feature.py:477-485
+        unknown = [i for i in sorted(self.taps.ids)
+                   if i not in known and i not in pseudo
+                   and not is_filtered_id(i)]
+        if not unknown:
+            return
+        import difflib
+        lines = []
+        for i in unknown[:10]:
+            near = difflib.get_close_matches(i, known, n=3, cutoff=0.55)
+            hint = f" (did you mean: {', '.join(near)}?)" if near else ''
+            lines.append(f'  {i!r}{hint}')
+        more = ('' if len(unknown) <= 10
+                else f'\n  ... and {len(unknown) - 10} more')
+        raise ValueError(
+            f'{len(unknown)} unknown layer id(s) for version '
+            f'{self.version!r} at img_size={self.img_size}:\n'
+            + '\n'.join(lines) + more
+            + '\nUse show_all_layers() / --show_all_layers for the full list,'
+              ' or pass validate_layers=False to skip this check.')
 
     # ------------------------------------------------------------------ build
     def _build_models(self, weights, seed, external_model):

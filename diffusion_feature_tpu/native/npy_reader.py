@@ -93,30 +93,49 @@ class AsyncNpyReader:
             raise IOError(f'native npy read failed (job {handle})')
         try:
             dt = np.dtype(descr.value.decode())
+            shp = tuple(shape[i] for i in range(ndim.value))
+            if nbytes.value == 0:
+                # empty payload: std::vector::data() may be NULL on the C
+                # side; don't dereference it
+                return np.zeros(shp, dt)
             # single copy out of the pool buffer into a writable array
             # (np.load also returns writable arrays; callers mutate in place)
             src = (ctypes.c_char * nbytes.value).from_address(data.value)
             arr = np.frombuffer(src, dtype=dt).copy()
-            shp = tuple(shape[i] for i in range(ndim.value))
             arr = arr.reshape(shp, order='F' if fortran.value else 'C')
         finally:
             self._lib.nr_free(self._pool, handle)
         return arr
 
-    def read_all(self, paths: Sequence[str], window: int = None):
-        """Yield arrays in path order, keeping at most ``window`` reads in
-        flight (bounded backpressure: GB-scale dumps must not all buffer in
-        the pool at once while the consumer computes)."""
+    def read_all(self, paths: Sequence[str], window: int = None,
+                 max_bytes: int = 2 << 30):
+        """Yield arrays in path order, keeping at most ``window`` reads (and
+        at most ~``max_bytes`` of decoded payload, sized from the files on
+        disk) in flight — bounded backpressure: the GB-scale aggregated
+        dumps this path exists for must not all buffer in the C++ pool at
+        once while the consumer computes."""
+        import os
         if window is None:
             window = 8
         paths = list(paths)
         handles = []
+        sizes = []
+        in_flight = 0
         nxt = 0
         for i in range(len(paths)):
-            while nxt < len(paths) and nxt - i < window:
+            while (nxt < len(paths) and nxt - i < window
+                   and (in_flight == 0 or in_flight < max_bytes)):
+                try:
+                    sz = os.path.getsize(paths[nxt])
+                except OSError:
+                    sz = 0
                 handles.append(self.submit(paths[nxt]))
+                sizes.append(sz)
+                in_flight += sz
                 nxt += 1
-            yield self.get(handles[i])
+            arr = self.get(handles[i])
+            in_flight -= sizes[i]
+            yield arr
 
     def close(self):
         if self._pool is not None:

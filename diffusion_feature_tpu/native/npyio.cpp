@@ -52,6 +52,18 @@ bool parse_header(const std::string& hdr, Result* r) {
     if (q1 == std::string::npos || q2 == std::string::npos) return false;
     std::string descr = hdr.substr(q1 + 1, q2 - q1 - 1);
     if (descr.size() >= sizeof(r->descr)) return false;
+    // Only simple scalar descrs are supported ('<f4' style).  A structured
+    // dtype writes 'descr' as a list of field tuples; the first quoted token
+    // would be a field name, so reject anything that doesn't look like
+    // byte-order prefix + type char + digits and let Python fall back to
+    // np.load (get() raises IOError on this false).
+    if (descr.size() < 2) return false;
+    char order = descr[0];
+    if (order != '<' && order != '>' && order != '|' && order != '=')
+        return false;
+    if (!std::strchr("bifucSUV?", descr[1])) return false;
+    for (size_t i = 2; i < descr.size(); ++i)
+        if (descr[i] < '0' || descr[i] > '9') return false;
     std::strncpy(r->descr, descr.c_str(), sizeof(r->descr) - 1);
 
     size_t f = hdr.find("'fortran_order'");

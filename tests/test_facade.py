@@ -93,6 +93,36 @@ class TestExtract:
         assert feats['vae-out'].shape == (1, 3, 64, 64)
 
 
+class TestLayerValidation:
+    def test_typo_raises_with_suggestion(self):
+        # reference behavior is a silent drop (feature_extractor.py:36);
+        # here a typo'd id must produce an actionable error up front
+        with pytest.raises(ValueError) as ei:
+            FeatureExtractor(
+                layer={'mid-vit-block0-self-qq': True},
+                version='test-sd', img_size=64, dtype='float32')
+        msg = str(ei.value)
+        assert 'mid-vit-block0-self-qq' in msg
+        assert 'mid-vit-block0-self-q' in msg          # near-miss suggestion
+        assert 'show_all_layers' in msg
+
+    def test_pseudo_and_filtered_ids_pass(self):
+        # 'vae-out'/'attn' are facade-assembled pseudo layers; cross-k/v are
+        # store-filtered (both valid to request, neither in the enumeration)
+        fe = FeatureExtractor(
+            layer={'vae-out': True, 'attn': True,
+                   'mid-vit-block0-cross-k': True},
+            version='test-sd', img_size=64, dtype='float32',
+            attention=['up_cross'], attn_store_sizes=(1, 8))
+        assert fe.store_vae_output
+
+    def test_validate_layers_false_skips(self):
+        fe = FeatureExtractor(
+            layer={'no-such-layer': True}, version='test-sd', img_size=64,
+            dtype='float32', validate_layers=False)
+        assert 'no-such-layer' in fe.taps.ids
+
+
 class TestXL:
     def test_xl_extract_with_micro_conditioning(self):
         fe = FeatureExtractor(layer={'mid-vit-block0-cross-q': True},

@@ -22,6 +22,21 @@ def make_image(seed=0, size=80):
     return Image.fromarray((rng.rand(size, size, 3) * 255).astype('uint8'))
 
 
+# Equivalence tests compare the PRE-store-cast fp32 features (feature_dtype
+# None): the production bf16 store cast rounds each side independently, so an
+# epsilon-scale fp32 reordering delta can flip one bf16 ULP (~0.8% rel) and
+# mask real sharding bugs behind a loose tolerance.  At fp32 the only
+# legitimate delta is collective/fusion reordering of sums — measured max abs
+# ~8e-6 on the virtual mesh (VERDICT r2 weak-item 4) — so the tolerance sits
+# one order above that; a wrong-axis psum is orders of magnitude larger.
+TIGHT = dict(rtol=1e-5, atol=2e-5)
+
+
+def _fp32_features(*fes):
+    for fe in fes:
+        fe.feature_dtype = None
+
+
 class TestMeshExtraction:
     def test_dp_sharded_extract_matches_unsharded(self):
         mesh = make_mesh(dp=4, tp=1, devices=jax.devices()[:4])
@@ -31,6 +46,7 @@ class TestMeshExtraction:
         fe_plain = FeatureExtractor(layer={'up-level1-repeat0-res-out': True},
                                     version='test-sd', img_size=64,
                                     dtype='float32', seed=0)
+        _fp32_features(fe_mesh, fe_plain)
         prompts = fe_plain.encode_prompt('a cat')
         imgs = [make_image(i) for i in range(4)]
         fe_mesh._rng = jax.random.PRNGKey(7)
@@ -41,7 +57,7 @@ class TestMeshExtraction:
         b = np.asarray(f2['up-level1-repeat0-res-out'], np.float32)
         assert a.shape == b.shape == (4, 32, 32, 32)
         # same params/rng -> numerically matching features across the mesh
-        assert np.allclose(a, b, rtol=0.02, atol=0.02)
+        assert np.allclose(a, b, **TIGHT)
 
     def test_tp_sharded_extract_matches_tp1(self):
         """VERDICT r1 item 4: tensor parallelism reachable from the facade —
@@ -55,6 +71,7 @@ class TestMeshExtraction:
         fe_plain = FeatureExtractor(layer={'up-level1-repeat0-res-out': True},
                                     version='test-sd', img_size=64,
                                     dtype='float32', seed=0)
+        _fp32_features(fe_tp, fe_plain)
         prompts = fe_plain.encode_prompt('a cat')
         imgs = [make_image(i) for i in range(4)]
         fe_tp._rng = jax.random.PRNGKey(7)
@@ -63,7 +80,7 @@ class TestMeshExtraction:
         f2 = fe_plain.extract(prompts, 4, imgs, t=50)
         a = np.asarray(f1['up-level1-repeat0-res-out'], np.float32)
         b = np.asarray(f2['up-level1-repeat0-res-out'], np.float32)
-        assert np.allclose(a, b, rtol=0.02, atol=0.02)
+        assert np.allclose(a, b, **TIGHT)
         # the attention projections must actually live sharded over tp
         placed = fe_tp._placed_params[1]
         flat = {'/'.join(k): v for k, v in _flatten(placed['unet'])}
@@ -84,6 +101,7 @@ class TestMeshExtraction:
         assert fe_sp.unet.token_pspec == ('dp', 'sp')
         fe_plain = FeatureExtractor(**kw)
         assert fe_plain.unet.token_pspec is None
+        _fp32_features(fe_sp, fe_plain)
         imgs = [make_image(i) for i in range(4)]
         fe_sp._rng = jax.random.PRNGKey(7)
         fe_plain._rng = jax.random.PRNGKey(7)
@@ -93,7 +111,7 @@ class TestMeshExtraction:
             a = np.asarray(f1[k], np.float32)
             b = np.asarray(f2[k], np.float32)
             assert a.shape == b.shape
-            assert np.allclose(a, b, rtol=0.02, atol=0.02), k
+            assert np.allclose(a, b, **TIGHT), k
 
     def test_sp_sharded_pixart_and_hunyuan_match_unsharded(self):
         """Token sharding is wired for every DiT family, not just Flux."""
@@ -106,6 +124,7 @@ class TestMeshExtraction:
             fe_sp = FeatureExtractor(mesh=mesh, **kw)
             assert fe_sp.unet.token_pspec == ('dp', 'sp'), version
             fe_plain = FeatureExtractor(**kw)
+            _fp32_features(fe_sp, fe_plain)
             imgs = [make_image(i) for i in range(4)]
             fe_sp._rng = jax.random.PRNGKey(7)
             fe_plain._rng = jax.random.PRNGKey(7)
@@ -117,7 +136,7 @@ class TestMeshExtraction:
             f2 = fe_plain.extract(p2, 4, imgs, t=t)
             a = np.asarray(f1[layer], np.float32)
             b = np.asarray(f2[layer], np.float32)
-            assert np.allclose(a, b, rtol=0.02, atol=0.02), version
+            assert np.allclose(a, b, **TIGHT), version
 
     def test_sp_mesh_composes_with_tp(self):
         """dp2 x sp2 x tp2 on the full virtual mesh: token sharding and
@@ -127,6 +146,7 @@ class TestMeshExtraction:
                   img_size=64, dtype='float32', seed=0)
         fe = FeatureExtractor(mesh=mesh, **kw)
         fe_plain = FeatureExtractor(**kw)
+        _fp32_features(fe, fe_plain)
         imgs = [make_image(i) for i in range(4)]
         fe._rng = jax.random.PRNGKey(7)
         fe_plain._rng = jax.random.PRNGKey(7)
@@ -134,7 +154,7 @@ class TestMeshExtraction:
         f2 = fe_plain.extract('a cat', 4, imgs, t=500)
         a = np.asarray(f1['vit-block0-out'], np.float32)
         b = np.asarray(f2['vit-block0-out'], np.float32)
-        assert np.allclose(a, b, rtol=0.02, atol=0.02)
+        assert np.allclose(a, b, **TIGHT)
 
     def test_params_placed_once(self, monkeypatch):
         """VERDICT r1 item 5: the second extract() must not re-place the

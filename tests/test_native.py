@@ -163,6 +163,50 @@ class TestAsyncNpyReader:
         arr *= 2.0
         assert (arr == 2.0).all()
 
+    def test_zero_size_array(self, tmp_path):
+        """Empty payload: the C pool may hand back a NULL data pointer;
+        get() must return an empty array, not crash on from_address(None)."""
+        from diffusion_feature_tpu.native import AsyncNpyReader
+        path = str(tmp_path / 'empty.npy')
+        np.save(path, np.zeros((0, 5), np.float32))
+        reader = AsyncNpyReader(n_threads=1)
+        back = reader.get(reader.submit(path))
+        reader.close()
+        assert back.shape == (0, 5) and back.dtype == np.float32
+
+    def test_structured_dtype_raises_cleanly(self, tmp_path):
+        """A structured-dtype .npy ('descr' as a field list) must fail the
+        native header parse and surface as IOError, not silently mis-parse
+        the first field name as the dtype."""
+        from diffusion_feature_tpu.native import AsyncNpyReader
+        arr = np.zeros(4, dtype=[('a', '<f4'), ('b', '<i2')])
+        path = str(tmp_path / 'struct.npy')
+        np.save(path, arr)
+        reader = AsyncNpyReader(n_threads=1)
+        if not reader.is_native:
+            pytest.skip('no native toolchain')
+        with pytest.raises(IOError):
+            reader.get(reader.submit(path))
+        reader.close()
+
+    def test_read_all_byte_cap(self, tmp_path):
+        """max_bytes below a single file still makes progress (one job in
+        flight at a time) and yields everything in order."""
+        from diffusion_feature_tpu.native import AsyncNpyReader
+        arrays, paths = [], []
+        for i in range(5):
+            a = np.full((64, 64), i, np.float32)   # 16 KiB each
+            p = str(tmp_path / f'cap{i}.npy')
+            np.save(p, a)
+            arrays.append(a)
+            paths.append(p)
+        reader = AsyncNpyReader(n_threads=2)
+        out = list(reader.read_all(paths, window=4, max_bytes=1))
+        reader.close()
+        assert len(out) == 5
+        for a, b in zip(out, arrays):
+            assert np.array_equal(a, b)
+
     def test_read_all_windowed_order(self, tmp_path):
         from diffusion_feature_tpu.native import AsyncNpyReader
         arrays, paths = [], []
