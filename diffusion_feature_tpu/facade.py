@@ -1042,7 +1042,7 @@ class FeatureExtractor:
     # --------------------------------------------------------------- sampling
     def sample(self, prompts, batch_size: int = 1,
                num_inference_steps: int = 50, guidance_scale: float = 7.5,
-               return_features: bool = True):
+               return_features: bool = True, unrolled: bool = False):
         """Full text2img generation with taps firing at every denoise step —
         the substrate for background extraction (reference
         generate_with_extraction.py: a stock StableDiffusionPipeline run with
@@ -1055,30 +1055,59 @@ class FeatureExtractor:
         {layer: {step_idx: tensor}} view afterwards.
         """
         spec = self.spec
-        if spec.family not in ('unet', 'if'):
+        if spec.family not in ('unet', 'if', 'pixart'):
             raise NotImplementedError(
-                'sampling loop is implemented for the U-Net families '
-                '(the reference demo uses SD-1.5)')
-        pe, ne, pooled, neg_pooled = prompts
+                'sampling loop is implemented for the U-Net families and '
+                'PixArt (the reference demo uses SD-1.5; PixArt keeps its '
+                'stock text2img path as np_inference_call, reference '
+                'pipeline_pixart_sigma.py:1020-1021)')
 
-        def bcast(x):
+        def bcast(x, dtype=None):
             if x is None:
                 return None
-            return jnp.broadcast_to(jnp.asarray(x, self.dtype),
-                                    (batch_size,) + tuple(np.shape(x)[1:]))
+            return jnp.broadcast_to(
+                jnp.asarray(x, dtype or self.dtype),
+                (batch_size,) + tuple(np.shape(x)[1:]))
+
+        enc_mask = None
+        if spec.family == 'pixart':
+            # encode_prompt's raw 4-tuple with attention masks
+            # (diffusion_feature.py:195-202); context order under CFG is
+            # [negative; positive], so the masks concat the same way
+            pe, mask, ne, nmask = prompts
+            pooled = neg_pooled = None
+            mask = bcast(mask, jnp.int32)
+            nmask = bcast(nmask, jnp.int32)
+            enc_mask = (jnp.concatenate([nmask, mask])
+                        if guidance_scale > 1.0 else mask)
+        else:
+            pe, ne, pooled, neg_pooled = prompts
         pe, ne = bcast(pe), bcast(ne)
         pooled, neg_pooled = bcast(pooled), bcast(neg_pooled)
         self._rng, rng = jax.random.split(self._rng)
         fn = self._get_sample_fn(int(num_inference_steps),
-                                 float(guidance_scale))
-        images, feats = fn(self.params, pe, ne, pooled, neg_pooled, rng)
+                                 float(guidance_scale), bool(unrolled))
+        images, feats = fn(self.params, pe, ne, pooled, neg_pooled, rng,
+                           enc_mask)
         if self.store_idx is not None:
             self._background_feats = select_background_encounters(
                 feats, self.store_idx)
         return images, (feats if return_features else None)
 
-    def _get_sample_fn(self, num_inference_steps: int, guidance_scale: float):
-        key = ('sample', num_inference_steps, guidance_scale)
+    def _get_sample_fn(self, num_inference_steps: int, guidance_scale: float,
+                       unrolled: bool = False):
+        """Build & jit the generation loop.
+
+        Schedulers with per-position coefficient rows (Euler/DDPM/
+        DPM-Solver — ``scan_plan``, schedulers/diffusion.py) run the
+        denoise loop as ONE ``lax.scan`` body: cold-compile cost is one
+        U-Net forward instead of ``num_inference_steps`` forwards traced
+        into the graph (a many-minute difference at real size on this
+        single-core host).  PNDM/PLMS (and ``unrolled=True``) keep the
+        statically unrolled path; both produce identical images/features
+        (regression-tested in tests/test_extras.py).
+        """
+        key = ('sample', num_inference_steps, guidance_scale, unrolled)
         if key in self._fn_cache:
             return self._fn_cache[key]
         spec = self.spec
@@ -1091,11 +1120,16 @@ class FeatureExtractor:
         lat = (self.img_size // self.vae_scale
                if not spec.is_pixel_space else self.img_size)
         lat_ch = (spec.unet.in_channels if spec.unet is not None
+                  else spec.dit.in_channels if spec.family == 'pixart'
                   else spec.vae.latent_channels)
         added_static = (spec.unet is not None
                         and getattr(spec.unet, 'addition_embed_type', None)
                         == 'text_time')
+        is_pixart = spec.family == 'pixart'
         img_size = self.img_size
+        from .schedulers.diffusion import DDPMScheduler
+        is_ddpm = isinstance(sched, DDPMScheduler)
+        use_scan = (not unrolled) and hasattr(sched, 'scan_plan')
 
         def added_cond(pooled, neg_pooled, bsz):
             if not added_static:
@@ -1107,14 +1141,98 @@ class FeatureExtractor:
             pp = (jnp.concatenate([neg_pooled, pooled]) if do_cfg else pooled)
             return {'text_embeds': pp, 'time_ids': time_ids}
 
-        def run(params, pe, ne, pooled, neg_pooled, rng):
-            bsz = pe.shape[0]
-            rng, r0 = jax.random.split(rng)
+        def forward(params, model_in, t, ctx, added, enc_mask):
+            """One denoiser forward; returns (model_out, taps_tree)."""
+            if is_pixart:
+                out, tap_state = unet.apply(
+                    {'params': params['unet']}, model_in, t, ctx, enc_mask,
+                    mutable=['taps', 'attn_store'])
+            else:
+                out, tap_state = unet.apply(
+                    {'params': params['unet']}, model_in, t, ctx,
+                    added, mutable=['taps'])
+            return out, tap_state.get('taps', {})
+
+        def combine(out, latents):
+            """CFG combine + learned-variance split (IF pipeline
+            semantics: CFG on the prediction, conditional variance)."""
+            learned_var = (is_ddpm
+                           and sched.config.variance_type == 'learned_range'
+                           and out.shape[1] == 2 * latents.shape[1])
+            if learned_var:
+                pred, varp = jnp.split(out, 2, axis=1)
+                if do_cfg:
+                    u, c = jnp.split(pred, 2)
+                    pred = u + guidance_scale * (c - u)
+                    varp = jnp.split(varp, 2)[1]
+                return jnp.concatenate([pred, varp], axis=1)
+            if out.shape[1] != latents.shape[1]:
+                out = out[:, :latents.shape[1]]
+            if do_cfg:
+                uncond, cond = jnp.split(out, 2)
+                out = uncond + guidance_scale * (cond - uncond)
+            return out
+
+        def finish(params, latents):
+            if vae is not None and not spec.is_pixel_space:
+                images = vae.apply(
+                    {'params': params['vae']},
+                    latents / spec.vae.scaling_factor + spec.vae.shift_factor,
+                    method=AutoencoderKL.decode)
+            else:
+                images = latents
+            return jnp.clip(images / 2 + 0.5, 0.0, 1.0)
+
+        def init_latents(rng, bsz):
             latents = jax.random.normal(
-                r0, (bsz, lat_ch, lat, lat), self.dtype)
-            latents = latents * jnp.asarray(
+                rng, (bsz, lat_ch, lat, lat), self.dtype)
+            return latents * jnp.asarray(
                 getattr(state0, 'init_noise_sigma', None)
                 or sched.init_noise_sigma, self.dtype)
+
+        def run_scan(params, pe, ne, pooled, neg_pooled, rng, enc_mask=None):
+            bsz = pe.shape[0]
+            rng, r0 = jax.random.split(rng)
+            latents = init_latents(r0, bsz)
+            ctx = jnp.concatenate([ne, pe]) if do_cfg else pe
+            added = added_cond(pooled, neg_pooled, bsz)
+            plan = {k: jnp.asarray(v) for k, v in sched.scan_plan(state0).items()}
+            extra0 = sched.scan_carry_init(latents)
+
+            def body(carry, row):
+                latents, rng, extra = carry
+                model_in = (jnp.concatenate([latents] * 2)
+                            if do_cfg else latents)
+                if 'scale' in plan:
+                    model_in = model_in * row['scale'].astype(model_in.dtype)
+                out, taps = forward(params, model_in, row['timestep'], ctx,
+                                    added, enc_mask)
+                out = combine(out, latents)
+                noise = None
+                if is_ddpm:
+                    rng, rn = jax.random.split(rng)
+                    noise = jax.random.normal(rn, latents.shape,
+                                              latents.dtype)
+                latents, extra = sched.scan_step(row, out, latents, noise,
+                                                 extra)
+                return (latents, rng, extra), taps
+
+            (latents, _, _), tap_ys = jax.lax.scan(
+                body, (latents, rng, extra0), plan)
+            images = finish(params, latents)
+            # unstack the scan-stacked taps into the same step-major,
+            # encounter-minor tuples the unrolled path produces
+            merged: Dict[str, tuple] = {}
+            for k, v in flatten_taps(tap_ys).items():
+                vs = v if isinstance(v, tuple) else (v,)
+                merged[k] = tuple(x[i] for i in range(len(timesteps))
+                                  for x in vs)
+            return images, merged
+
+        def run(params, pe, ne, pooled, neg_pooled, rng, enc_mask=None):
+            bsz = pe.shape[0]
+            rng, r0 = jax.random.split(rng)
+            latents = init_latents(r0, bsz)
             ctx = jnp.concatenate([ne, pe]) if do_cfg else pe
             added = added_cond(pooled, neg_pooled, bsz)
 
@@ -1124,45 +1242,18 @@ class FeatureExtractor:
                 model_in = (jnp.concatenate([latents] * 2)
                             if do_cfg else latents)
                 model_in = sched.scale_model_input(st, model_in, t)
-                out, tap_state = unet.apply(
-                    {'params': params['unet']}, model_in, float(t), ctx,
-                    added, mutable=['taps'])
-                tap_states.append(tap_state.get('taps', {}))
-                from .schedulers.diffusion import DDPMScheduler
-                learned_var = (isinstance(sched, DDPMScheduler)
-                               and sched.config.variance_type == 'learned_range'
-                               and out.shape[1] == 2 * latents.shape[1])
-                if learned_var:
-                    pred, varp = jnp.split(out, 2, axis=1)
-                    if do_cfg:
-                        # CFG on the prediction; keep the conditional
-                        # variance (IF pipeline semantics)
-                        u, c = jnp.split(pred, 2)
-                        pred = u + guidance_scale * (c - u)
-                        varp = jnp.split(varp, 2)[1]
-                    out = jnp.concatenate([pred, varp], axis=1)
-                else:
-                    if out.shape[1] != latents.shape[1]:
-                        out = out[:, :latents.shape[1]]
-                    if do_cfg:
-                        uncond, cond = jnp.split(out, 2)
-                        out = uncond + guidance_scale * (cond - uncond)
-                if isinstance(sched, DDPMScheduler):
+                out, taps = forward(params, model_in, float(t), ctx, added,
+                                    enc_mask)
+                tap_states.append(taps)
+                out = combine(out, latents)
+                if is_ddpm:
                     rng, rn = jax.random.split(rng)
                     noise = jax.random.normal(rn, latents.shape, latents.dtype)
                     latents, st = sched.step(st, out, t, latents, noise)
                 else:
                     latents, st = sched.step(st, out, t, latents)
 
-            if vae is not None and not spec.is_pixel_space:
-                images = vae.apply(
-                    {'params': params['vae']},
-                    latents / spec.vae.scaling_factor + spec.vae.shift_factor,
-                    method=AutoencoderKL.decode)
-            else:
-                images = latents
-            images = jnp.clip(images / 2 + 0.5, 0.0, 1.0)
-
+            images = finish(params, latents)
             # merge per-step tap pytrees into encounter tuples
             merged: Dict[str, tuple] = {}
             for ts_tree in tap_states:
@@ -1172,7 +1263,7 @@ class FeatureExtractor:
                     merged[k] = merged.get(k, ()) + vs
             return images, merged
 
-        self._fn_cache[key] = jax.jit(run)
+        self._fn_cache[key] = jax.jit(run_scan if use_scan else run)
         return self._fn_cache[key]
 
     # ------------------------------------------------------------- background

@@ -13,7 +13,11 @@ JAX_PLATFORMS=cpu to force host) and the torch side on CPU.  Not part of
 the CPU test suite — a single full-size fp32 compile takes minutes on this
 box — run it once per round and record the result in PARITY.md:
 
-    python tools/golden_fullsize.py
+    python tools/golden_fullsize.py \
+        [1-5|2-1|xl|pgv2|pixart|pixart-alpha|hunyuan|if|flux]
+
+(``flux`` = real-width reduced-depth Flux-dev + int8 fidelity report; full
+12B fp32 on both sides at once exceeds host RAM.)
 """
 
 import os
@@ -46,18 +50,23 @@ def compare_and_report(flat, out, ref_taps, ref_out, tol=2e-3):
     sys.exit(1 if bad else 0)
 
 
-def run_pixart():
-    """PixArt-Sigma-512: the full 28-layer / 600M DiT."""
+def run_pixart(which='sigma'):
+    """PixArt 512 presets: the full 28-layer / 600M DiT.  ``sigma`` and
+    ``alpha`` share the Transformer2DModel ada_norm_single architecture at
+    512px (reference feature/components/models.py:87-102 vs :103-118; the
+    alpha-only resolution/aspect conditioning exists only in the 1024
+    preset) — the alpha mode pins that the preset's config values map and
+    convert identically."""
     import torch
     import jax
     import jax.numpy as jnp
     import torch_ref as tr
     from diffusion_feature_tpu.models.dit_pixart import (
-        PixArtTransformer2D, PIXART_SIGMA_512)
+        PixArtTransformer2D, PIXART_ALPHA_512, PIXART_SIGMA_512)
     from diffusion_feature_tpu.models.convert import convert_torch_state
     from diffusion_feature_tpu.taps import TapSpec, flatten_taps
 
-    cfg = PIXART_SIGMA_512
+    cfg = PIXART_ALPHA_512 if which == 'alpha' else PIXART_SIGMA_512
     tcfg = dict(sample_size=cfg.sample_size, patch_size=cfg.patch_size,
                 in_channels=cfg.in_channels, out_channels=cfg.out_channels,
                 num_layers=cfg.num_layers,
@@ -225,6 +234,128 @@ def run_if():
     compare_and_report(flat, out, ref_taps, ref_out)
 
 
+def run_flux():
+    """Flux-dev at REAL width, reduced depth (VERDICT r2 item 1).
+
+    Full 12B fp32 is host-RAM-infeasible on both sides at once, but every
+    regime that tiny configs mask lives in the *width*, not the depth:
+    hidden 3072 / 24 heads / head-dim-128 RoPE with axes (16,56,56), joint
+    [text;image] sequence slicing at text_len 512, the dual->single
+    handoff.  So this runs genuine Flux-dev dims with 2 dual + 2 single
+    blocks (~1.1B params, ~4.4 GiB fp32), weights through the production
+    conversion path, every published Flux tap compared — then repeats the
+    forward through the production int8 weight-only path (the single-chip
+    transformer_8bit configuration) and reports per-tap cosine fidelity at
+    real width, which the tiny-model cosine tests cannot establish
+    (ADVICE r2: modulation-projection quantization error is amplified
+    across the block).
+
+    Match: /root/reference/feature/diffusers/models/transformers/
+    transformer_flux.py:107-211, /root/reference/feature/components/
+    attention.py:404-527.
+    """
+    import dataclasses
+    import torch
+    import jax
+    import jax.numpy as jnp
+    import torch_ref as tr
+    from diffusion_feature_tpu.models.flux import (
+        FluxTransformer2D, FLUX_DEV, make_img_ids)
+    from diffusion_feature_tpu.models.convert import convert_torch_state
+    from diffusion_feature_tpu.taps import TapSpec, flatten_taps
+
+    cfg = dataclasses.replace(FLUX_DEV, num_layers=2, num_single_layers=2)
+    text_len = 512
+    grid = 32                       # 512-px latents (64) packed 2x2
+    tcfg = dict(in_channels=cfg.in_channels, num_layers=cfg.num_layers,
+                num_single_layers=cfg.num_single_layers,
+                attention_head_dim=cfg.attention_head_dim,
+                num_attention_heads=cfg.num_attention_heads,
+                joint_attention_dim=cfg.joint_attention_dim,
+                pooled_projection_dim=cfg.pooled_projection_dim)
+    torch.manual_seed(0)
+    t0 = time.time()
+    ref = tr.FluxTransformer2DModel(tcfg, text_len=text_len).eval()
+    n = sum(p.numel() for p in ref.parameters())
+    print(f'torch Flux-dev (real width, 2+2 blocks) built: {n/1e6:.0f}M '
+          f'params ({time.time()-t0:.1f}s)')
+
+    rng = np.random.RandomState(9)
+    packed = rng.randn(1, grid * grid, cfg.in_channels).astype(np.float32)
+    ctx = rng.randn(1, text_len, cfg.joint_attention_dim).astype(np.float32)
+    pooled = rng.randn(1, cfg.pooled_projection_dim).astype(np.float32)
+
+    ours = FluxTransformer2D(cfg=cfg, grid_hw=(grid, grid),
+                             text_len=text_len, taps=TapSpec.all())
+    t0 = time.time()
+    template = jax.eval_shape(
+        lambda: FluxTransformer2D(
+            cfg=cfg, grid_hw=(grid, grid), text_len=text_len).init(
+                jax.random.PRNGKey(0), jnp.asarray(packed), 500.0,
+                jnp.asarray(ctx), jnp.asarray(pooled))['params'])
+    state = tr.state_dict_numpy(ref)
+    params, _, unused = convert_torch_state(state, template)
+    assert not unused, f'unmapped torch keys: {unused[:5]}'
+    print(f'weights converted ({time.time()-t0:.1f}s)')
+
+    t0 = time.time()
+    out, tap_state = ours.apply({'params': params}, jnp.asarray(packed),
+                                500.0, jnp.asarray(ctx), jnp.asarray(pooled),
+                                mutable=['taps', 'attn_store'])
+    flat = {k: np.asarray(v, np.float32)
+            for k, v in flatten_taps(tap_state['taps']).items()}
+    out = np.asarray(out, np.float32)
+    print(f'flax forward on {jax.devices()[0].platform}: '
+          f'{len(flat)} taps ({time.time()-t0:.1f}s)')
+    del params
+
+    ids = np.concatenate([np.zeros((text_len, 3), np.float32),
+                          make_img_ids(grid * 2, grid * 2)], axis=0)
+    cos, sin = tr.flux_rope_cos_sin(ids, cfg.axes_dims_rope)
+    ref_taps = {}
+    t0 = time.time()
+    with torch.no_grad():
+        ref_out = ref(torch.tensor(packed), 500.0, torch.tensor(ctx),
+                      torch.tensor(pooled), cos, sin, taps=ref_taps)
+    print(f'torch forward: ({time.time()-t0:.1f}s)')
+
+    # --- int8 weight-only fidelity at real width (production single-chip
+    # path: conversion quantizes into the Int8Dense kernel_q/scale leaves) —
+    # reported per-tap as cosine vs the fp32 torch oracle
+    qcfg = dataclasses.replace(cfg, quantize_int8=True)
+    ours_q = FluxTransformer2D(cfg=qcfg, grid_hw=(grid, grid),
+                               text_len=text_len, taps=TapSpec.all())
+    t0 = time.time()
+    template_q = jax.eval_shape(
+        lambda: FluxTransformer2D(
+            cfg=qcfg, grid_hw=(grid, grid), text_len=text_len).init(
+                jax.random.PRNGKey(0), jnp.asarray(packed), 500.0,
+                jnp.asarray(ctx), jnp.asarray(pooled))['params'])
+    params_q, _, unused_q = convert_torch_state(state, template_q)
+    assert not unused_q, f'unmapped torch keys (int8): {unused_q[:5]}'
+    _, tap_state_q = ours_q.apply(
+        {'params': params_q}, jnp.asarray(packed), 500.0, jnp.asarray(ctx),
+        jnp.asarray(pooled), mutable=['taps', 'attn_store'])
+    flat_q = {k: np.asarray(v, np.float32)
+              for k, v in flatten_taps(tap_state_q['taps']).items()}
+    print(f'int8 forward ({time.time()-t0:.1f}s)')
+    worst_q = ('', 1.0)
+    for k, v in flat_q.items():
+        r = ref_taps[k].detach().numpy().ravel()
+        vv = v.ravel()
+        denom = np.linalg.norm(vv) * np.linalg.norm(r)
+        cosine = float(vv @ r / denom) if denom > 0 else 1.0
+        if cosine < worst_q[1]:
+            worst_q = (k, cosine)
+    print(f'int8 weight-only fidelity: worst tap cosine {worst_q[1]:.4f} '
+          f'at {worst_q[0]!r} ({len(flat_q)} taps)')
+    if worst_q[1] < 0.98:
+        print('FULLSIZE GOLDEN: FAIL (int8 fidelity below 0.98 cosine)')
+        sys.exit(1)
+
+    compare_and_report(flat, out, ref_taps, ref_out)
+
+
 def main():
     import torch
     import jax
@@ -234,18 +365,26 @@ def main():
 
     import torch_ref as tr
     from diffusion_feature_tpu.models.unet2d import (
-        UNet2DConditionModel, SD15_UNET, SDXL_UNET)
+        UNet2DConditionModel, SD15_UNET, SD21_UNET, SDXL_UNET)
     from diffusion_feature_tpu.models.convert import convert_torch_state
     from diffusion_feature_tpu.taps import TapSpec, flatten_taps
 
     model = sys.argv[1] if len(sys.argv) > 1 else '1-5'
-    if model == 'pixart':
-        return run_pixart()
+    if model in ('pixart', 'pixart-sigma'):
+        return run_pixart('sigma')
+    if model == 'pixart-alpha':
+        return run_pixart('alpha')
     if model == 'hunyuan':
         return run_hunyuan()
     if model == 'if':
         return run_if()
-    cfg = {'1-5': SD15_UNET, 'xl': SDXL_UNET}[model]
+    if model == 'flux':
+        return run_flux()
+    # pgv2 is the SDXL architecture under a different checkpoint
+    # (reference components/models.py:57-70): its golden run is the same
+    # tcfg with its own seed/mode name, recorded separately in PARITY.md
+    cfg = {'1-5': SD15_UNET, '2-1': SD21_UNET,
+           'xl': SDXL_UNET, 'pgv2': SDXL_UNET}[model]
     tcfg = dict(
         in_channels=cfg.in_channels, out_channels=cfg.out_channels,
         block_out_channels=cfg.block_out_channels,
@@ -264,7 +403,11 @@ def main():
             projection_class_embeddings_input_dim=
             cfg.projection_class_embeddings_input_dim)
 
-    torch.manual_seed(0)
+    # distinct draws per mode (pgv2 shares the xl architecture; its run must
+    # still be an independent weight/input sample, not a byte-identical rerun)
+    tseed, iseed = {'1-5': (0, 5), 'xl': (0, 5),
+                    '2-1': (1, 12), 'pgv2': (2, 13)}[model]
+    torch.manual_seed(tseed)
     t0 = time.time()
     ref = tr.UNet2DConditionModel(tcfg).eval()
     n_params = sum(p.numel() for p in ref.parameters())
@@ -272,7 +415,7 @@ def main():
           f'({time.time()-t0:.1f}s)')
 
     ours = UNet2DConditionModel(cfg=cfg, taps=TapSpec.all())
-    rng = np.random.RandomState(5)
+    rng = np.random.RandomState(iseed)
     sample = rng.randn(1, 4, 64, 64).astype(np.float32)
     ctx = rng.randn(1, 77, cfg.cross_attention_dim).astype(np.float32)
     added = added_t = None
