@@ -57,9 +57,10 @@ def _pixart_from_diffusers_config(d: dict) -> 'PixArtConfig':
         num_layers=d.get('num_layers', 28),
         num_attention_heads=d.get('num_attention_heads', 16),
         attention_head_dim=d.get('attention_head_dim', 72),
-        cross_attention_dim=d.get('cross_attention_dim', 1152),
+        cross_attention_dim=d.get('cross_attention_dim') or 1152,
         caption_channels=d.get('caption_channels', 4096),
         interpolation_scale=d.get('interpolation_scale', 1) or 1,
+        norm_eps=d.get('norm_eps', 1e-6),
     )
 
 

@@ -39,13 +39,88 @@ def synth_state_from_template(template_params, seed=0, scale=0.05):
             name = 'weight'
         elif kind == 'bias':
             name = 'bias'
-        else:                    # 'scale' (norms), 'embedding', 'weight', ...
-            name = 'weight'
+        elif kind in ('scale', 'embedding', 'weight'):
+            name = 'weight'      # norm scales / embeddings store as .weight
+        else:
+            # bare nn.Parameter leaves (e.g. PixArt's scale_shift_table)
+            # keep their own name in torch state dicts
+            name = kind
         key = f'{base}.{name}' if base else name
         # round-trip guard: the normalized key must resolve to this path
         assert _normalize_key(base) == base, (path, base)
         state[key] = arr
     return state
+
+
+def write_pixart_checkpoint(root, *, seed=0):
+    """Build a complete tiny-PixArt diffusers checkpoint directory:
+    transformer (Transformer2DModel ada_norm_single schema) + vae +
+    text_encoder (T5) — the DiT-family analogue of write_flux_checkpoint,
+    used by the KEEP_PLATFORM on-chip convert->extract smoke."""
+    import json
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    from safetensors.numpy import save_file
+
+    from diffusion_feature_tpu.models.dit_pixart import (
+        PixArtTransformer2D, tiny_pixart_config)
+    from diffusion_feature_tpu.models.vae import AutoencoderKL, tiny_vae_config
+    from diffusion_feature_tpu.models.t5 import T5EncoderModel, tiny_t5_config
+
+    root = str(root)
+    for comp in ('transformer', 'vae', 'text_encoder'):
+        os.makedirs(os.path.join(root, comp), exist_ok=True)
+    r = jax.random.PRNGKey(0)
+
+    pcfg = tiny_pixart_config()
+    json.dump({
+        'sample_size': pcfg.sample_size,
+        'patch_size': pcfg.patch_size,
+        'in_channels': pcfg.in_channels,
+        'out_channels': pcfg.out_channels,
+        'num_layers': pcfg.num_layers,
+        'num_attention_heads': pcfg.num_attention_heads,
+        'attention_head_dim': pcfg.attention_head_dim,
+        'cross_attention_dim': pcfg.cross_attention_dim,
+        'caption_channels': pcfg.caption_channels,
+        'interpolation_scale': pcfg.interpolation_scale,
+        'norm_type': 'ada_norm_single',
+    }, open(os.path.join(root, 'transformer', 'config.json'), 'w'))
+    model = PixArtTransformer2D(cfg=pcfg)
+    tmpl = model.init(
+        r, jnp.zeros((1, pcfg.in_channels, pcfg.sample_size,
+                      pcfg.sample_size)),
+        500.0, jnp.zeros((1, 8, pcfg.caption_channels)))['params']
+    save_file(synth_state_from_template(tmpl, seed=seed),
+              os.path.join(root, 'transformer',
+                           'diffusion_pytorch_model.safetensors'))
+
+    vcfg = tiny_vae_config()
+    json.dump({'in_channels': 3, 'out_channels': 3,
+               'latent_channels': vcfg.latent_channels,
+               'block_out_channels': list(vcfg.block_out_channels),
+               'layers_per_block': vcfg.layers_per_block,
+               'scaling_factor': 0.13025},
+              open(os.path.join(root, 'vae', 'config.json'), 'w'))
+    vae = AutoencoderKL(cfg=vcfg)
+    vtmpl = vae.init(r, jnp.zeros((1, 3, 16, 16)),
+                     method=AutoencoderKL.full_pass)['params']
+    save_file(synth_state_from_template(vtmpl, seed=seed + 1),
+              os.path.join(root, 'vae',
+                           'diffusion_pytorch_model.safetensors'))
+
+    tcfg = tiny_t5_config()
+    json.dump({'vocab_size': tcfg.vocab_size, 'd_model': tcfg.d_model,
+               'd_kv': tcfg.d_kv, 'd_ff': tcfg.d_ff,
+               'num_layers': tcfg.num_layers, 'num_heads': tcfg.num_heads},
+              open(os.path.join(root, 'text_encoder', 'config.json'), 'w'))
+    t5 = T5EncoderModel(cfg=tcfg)
+    ttmpl = t5.init(r, jnp.zeros((1, 8), jnp.int32))['params']
+    save_file(synth_state_from_template(ttmpl, seed=seed + 3),
+              os.path.join(root, 'text_encoder', 'model.safetensors'))
+    return root
 
 
 def write_flux_checkpoint(root, *, seed=0):

@@ -111,3 +111,56 @@ class TestCheckpointLoad:
                                        t=50)['up-level1-repeat0-res-out'],
                        np.float32)
         assert not np.allclose(a, b)
+
+
+class TestPixArtCheckpointLoad:
+    """DiT-family synth-checkpoint convert->extract (VERDICT r2 item 8):
+    the same fixture runs on the real chip under KEEP_PLATFORM=1."""
+
+    @pytest.fixture(scope='class')
+    def pixart_dir(self, tmp_path_factory):
+        from synth_checkpoint import write_pixart_checkpoint
+        return write_pixart_checkpoint(tmp_path_factory.mktemp('pixart_ckpt'))
+
+    def test_load_adapt_extract(self, pixart_dir):
+        from diffusion_feature_tpu import FeatureExtractor
+        fe = FeatureExtractor(layer={'vit-block0-out': True,
+                                     'vit-block1-cross-q': True},
+                              version='test-pixart', img_size=64,
+                              dtype='float32', weights=pixart_dir)
+        img = [Image.fromarray((np.random.RandomState(0).rand(64, 64, 3)
+                                * 255).astype('uint8'))]
+        feats = fe.extract(fe.encode_prompt('a photo'), 1, img, t=50)
+        for k, v in feats.items():
+            assert np.isfinite(np.asarray(v, np.float32)).all(), k
+        assert feats['vit-block0-out'].shape[0] == 1
+
+    def test_weights_really_loaded(self, pixart_dir):
+        from diffusion_feature_tpu import FeatureExtractor
+        kw = dict(layer={'vit-block0-out': True}, version='test-pixart',
+                  img_size=64, dtype='float32')
+        fe_ck = FeatureExtractor(weights=pixart_dir, **kw)
+        fe_rand = FeatureExtractor(**kw)
+        img = [Image.fromarray((np.random.RandomState(0).rand(64, 64, 3)
+                                * 255).astype('uint8'))]
+        fe_ck._rng = jax.random.PRNGKey(9)
+        fe_rand._rng = jax.random.PRNGKey(9)
+        a = np.asarray(fe_ck.extract(fe_ck.encode_prompt('x'), 1, img, t=50)
+                       ['vit-block0-out'], np.float32)
+        b = np.asarray(fe_rand.extract(fe_rand.encode_prompt('x'), 1, img,
+                                       t=50)['vit-block0-out'], np.float32)
+        assert not np.allclose(a, b)
+
+    def test_sample_generates_from_checkpoint(self, pixart_dir):
+        # PixArt text2img (np_inference_call parity) through converted
+        # weights: the scan-based DPM-Solver loop end-to-end
+        from diffusion_feature_tpu import FeatureExtractor
+        fe = FeatureExtractor(layer={'vit-block0-out': True},
+                              version='test-pixart', img_size=64,
+                              dtype='float32', weights=pixart_dir)
+        prompts = fe.encode_prompt('a photo')
+        images, feats = fe.sample(prompts, batch_size=1,
+                                  num_inference_steps=3, guidance_scale=4.5)
+        assert images.shape == (1, 3, 64, 64)
+        assert np.isfinite(np.asarray(images, np.float32)).all()
+        assert len(feats['vit-block0-out']) == 3
