@@ -1099,12 +1099,12 @@ class FeatureExtractor:
         """Build & jit the generation loop.
 
         Schedulers with per-position coefficient rows (Euler/DDPM/
-        DPM-Solver — ``scan_plan``, schedulers/diffusion.py) run the
+        DPM-Solver/PNDM — ``scan_plan``, schedulers/diffusion.py) run the
         denoise loop as ONE ``lax.scan`` body: cold-compile cost is one
         U-Net forward instead of ``num_inference_steps`` forwards traced
         into the graph (a many-minute difference at real size on this
-        single-core host).  PNDM/PLMS (and ``unrolled=True``) keep the
-        statically unrolled path; both produce identical images/features
+        single-core host).  ``unrolled=True`` keeps the statically
+        unrolled path; both produce identical images/features
         (regression-tested in tests/test_extras.py).
         """
         key = ('sample', num_inference_steps, guidance_scale, unrolled)

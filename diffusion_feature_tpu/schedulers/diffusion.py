@@ -531,6 +531,91 @@ DDPMScheduler.scan_step = _ddpm_scan_step
 DDPMScheduler.scan_carry_init = _no_extra
 
 
+def _pndm_scan_plan(self, state: SchedulerState) -> dict:
+    """PLMS is scannable too: which ets are blended (and the counter==1
+    sample/timestep rewiring) depends only on the step POSITION, so the
+    multistep history rides the scan carry as a 4-slot ring buffer.
+
+    Per step() above: position 0 appends its output and steps t0 -> t0-Δ;
+    position 1 (the duplicated timestep entry) does NOT append, re-steps
+    the ORIGINAL sample from t0 -> t1 with the averaged output; positions
+    >= 2 append and blend the newest 2/3/4 history entries with the
+    Adams-Bashforth weights."""
+    ts = np.asarray(state.timesteps, np.int64)
+    n = len(ts)
+    step_size = self.config.num_train_timesteps // state.num_inference_steps
+    pos = np.arange(n)
+    t_eff = np.where(pos == 1, ts + step_size, ts)
+    prev_eff = np.where(pos == 1, ts, ts - step_size)
+
+    a_t = self.alphas_cumprod[t_eff]
+    a_prev = np.where(prev_eff >= 0,
+                      self.alphas_cumprod[np.maximum(prev_eff, 0)], 1.0)
+    beta_t = 1 - a_t
+    beta_prev = 1 - a_prev
+    denom = a_t * np.sqrt(beta_prev) + np.sqrt(a_t * beta_t * a_prev)
+
+    # blend weights on [current output; ring r0 (newest) .. r3], where the
+    # ring is the POST-append state (position 1 skips the append)
+    w_cur = np.where(pos == 1, 0.5, 0.0)
+    w_hist = np.zeros((n, 4))
+    for i in range(n):
+        if i == 0:
+            w_hist[i] = (1.0, 0, 0, 0)
+        elif i == 1:
+            w_hist[i] = (0.5, 0, 0, 0)
+        elif i == 2:
+            w_hist[i] = (1.5, -0.5, 0, 0)
+        elif i == 3:
+            w_hist[i] = (23 / 12, -16 / 12, 5 / 12, 0)
+        else:
+            w_hist[i] = (55 / 24, -59 / 24, 37 / 24, -9 / 24)
+
+    return {
+        'timestep': ts.astype(np.float32),
+        'append': (pos != 1).astype(np.float32),
+        'save': (pos == 0).astype(np.float32),
+        'use_saved': (pos == 1).astype(np.float32),
+        'w_cur': w_cur.astype(np.float32),
+        'w_hist': w_hist.astype(np.float32),
+        'sqrt_coeff': np.sqrt(a_prev / a_t).astype(np.float32),
+        'diff_coeff': ((a_prev - a_t) / denom).astype(np.float32),
+        'sqrt_a_eff': np.sqrt(a_t).astype(np.float32),
+        'sqrt_beta_eff': np.sqrt(beta_t).astype(np.float32),
+    }
+
+
+def _pndm_scan_step(self, row, model_output, sample, noise=None, extra=None):
+    saved, ring = extra
+    dt = sample.dtype
+    append = row['append'].astype(dt)
+    # conditional ring append (position 1 keeps the ring unchanged)
+    appended = jnp.concatenate([model_output[None], ring[:3]], axis=0)
+    ring = append * appended + (1 - append) * ring
+    saved = (row['save'].astype(dt) * sample
+             + (1 - row['save'].astype(dt)) * saved)
+    sample_upd = (row['use_saved'].astype(dt) * saved
+                  + (1 - row['use_saved'].astype(dt)) * sample)
+    out = (row['w_cur'].astype(dt) * model_output
+           + jnp.tensordot(row['w_hist'].astype(dt), ring, axes=1))
+    if self.config.prediction_type == 'v_prediction':
+        out = (row['sqrt_a_eff'].astype(dt) * out
+               + row['sqrt_beta_eff'].astype(dt) * sample_upd)
+    prev = (row['sqrt_coeff'].astype(dt) * sample_upd
+            - row['diff_coeff'].astype(dt) * out)
+    return prev, (saved, ring)
+
+
+def _pndm_carry_init(self, latents):
+    return (jnp.zeros_like(latents),
+            jnp.zeros((4,) + latents.shape, latents.dtype))
+
+
+PNDMScheduler.scan_plan = _pndm_scan_plan
+PNDMScheduler.scan_step = _pndm_scan_step
+PNDMScheduler.scan_carry_init = _pndm_carry_init
+
+
 def _dpm_scan_plan(self, state: SchedulerState) -> dict:
     """DPM-Solver++(2M): the 2nd-order history weight 1/(2r) depends only on
     position (r from consecutive λ gaps), so the multistep update scans with

@@ -260,12 +260,11 @@ class TestScanSampler:
         self._assert_match(*self._run_both(
             'test-if', {'up-level1-repeat0-res-out': True}))
 
-    def test_pndm_stays_unrolled(self):
-        fe = FeatureExtractor(layer=LAYER, version='test-sd', img_size=64,
-                              dtype='float32')
-        fn = fe._get_sample_fn(4, 5.0)
-        # PNDM/PLMS has no scan_plan: both keys must hit the same unrolled fn
-        assert not hasattr(fe.scheduler, 'scan_plan')
+    def test_pndm_sd15_scan_matches_unrolled(self):
+        # PLMS: 4-slot ets ring in the scan carry, counter==0/1
+        # sample/timestep rewiring as per-position flags.  6 steps so the
+        # full Adams-Bashforth 4-history blend is exercised.
+        self._assert_match(*self._run_both('test-sd', LAYER, steps=6))
 
     def test_dpmsolver_pixart_scan_matches_unrolled(self):
         # PixArt text2img (reference np_inference_call parity): DPM-Solver
