@@ -6,8 +6,11 @@ Reproduces the reference's ``ddim_inversion``
 stop_at_t``.  The facade calls it with 100 inference steps
 (feature/diffusion_feature.py:385) and pauses the feature store during the
 loop; here the inversion steps run through a tap-free module so no taps are
-sown and the whole inversion unrolls into the one jitted extraction program
-(a static number of U-Net calls: stop_at_t // (1000//num_steps)).
+sown, and the ladder runs as ONE ``lax.scan`` body inside the jitted
+extraction program — the trace/compile cost is a single U-Net forward no
+matter how high ``stop_at_t`` climbs (the step count,
+ceil(stop_at_t / (1000//num_steps)), only sizes the scanned
+coefficient rows).
 
 Numerics note reproduced faithfully: the reference scales the posterior
 sample by the hard-coded SD scaling factor 0.18215 regardless of model
@@ -18,6 +21,7 @@ module, which is identical for the SD-1.5/2.1 models this path targets.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .schedulers.diffusion import DDIMScheduler
@@ -48,25 +52,40 @@ def ddim_invert(extractor, params, img, prompt_embeds, *, stop_at_t: int,
     # reference diffusion_feature.py:384-386)
     plain = type(extractor.unet)(cfg=extractor.unet.cfg, dtype=extractor.dtype)
 
+    # ladder positions actually walked: 1..K where K is the first index
+    # whose t reaches stop_at_t (the reference's break-after-update)
+    walked = []
     for i in range(1, num_inference_steps):
         t = int(timesteps[i])
+        walked.append(t)
+        if t >= stop_at_t:
+            break
+    ts = np.asarray(walked, np.int64)
+    current_t = np.maximum(0, ts - step_size)
+    a_t = alphas_cumprod[current_t]
+    a_next = alphas_cumprod[ts]
+    rows = {
+        'timestep': ts.astype(np.float32),
+        'sqrt_1ma': np.sqrt(1 - a_t).astype(np.float32),
+        'ratio': (np.sqrt(a_next) / np.sqrt(a_t)).astype(np.float32),
+        'sqrt_1ma_next': np.sqrt(1 - a_next).astype(np.float32),
+    }
+
+    def body(latents, row):
         noise_pred = plain.apply({'params': params['unet']}, latents,
-                                 float(t), prompt_embeds)
+                                 row['timestep'], prompt_embeds)
         if noise_pred.shape[1] != latents.shape[1]:
             noise_pred = noise_pred[:, :latents.shape[1]]
-
-        current_t = max(0, t - step_size)
-        next_t = t
-        a_t = float(alphas_cumprod[current_t])
-        a_next = float(alphas_cumprod[next_t])
+        dt = latents.dtype
         # x(t) as a function of x(t-1) (inverted DDIM update,
         # reference ddim_inversion.py:38-41)
         latents = (
-            (latents - jnp.asarray(np.sqrt(1 - a_t), latents.dtype) * noise_pred)
-            * jnp.asarray(np.sqrt(a_next) / np.sqrt(a_t), latents.dtype)
-            + jnp.asarray(np.sqrt(1 - a_next), latents.dtype) * noise_pred
+            (latents - row['sqrt_1ma'].astype(dt) * noise_pred)
+            * row['ratio'].astype(dt)
+            + row['sqrt_1ma_next'].astype(dt) * noise_pred
         )
-        if t >= stop_at_t:
-            break
+        return latents, None
 
+    latents, _ = jax.lax.scan(body, latents,
+                              {k: jnp.asarray(v) for k, v in rows.items()})
     return latents
