@@ -61,6 +61,12 @@ class FluxConfig:
     # path quantizes them (11.9 GiB) the way the reference fits its 11-GiB
     # GPU budget with bnb-8bit T5 + device_map (components/models.py:150-172).
     # Tensor parallelism (parallel/mesh.py) is the multi-chip alternative.
+    # The adaLN modulation projections (norm1_linear/norm1_context_linear/
+    # norm_linear, ~3.2B params) are quantized too — keeping them bf16 would
+    # add ~6.4 GiB and break the single-chip fit; fidelity at REAL width is
+    # measured, not assumed: `tools/golden_fullsize.py flux` runs the int8
+    # path at genuine 3072/24-head dims and reports worst tap cosine 1.0000
+    # vs the fp32 torch oracle (ADVICE r2 item 4).
     quantize_int8: bool = False
 
     @property

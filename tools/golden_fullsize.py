@@ -74,11 +74,11 @@ def run_pixart(which='sigma'):
                 attention_head_dim=cfg.attention_head_dim,
                 caption_channels=cfg.caption_channels,
                 interpolation_scale=cfg.interpolation_scale)
-    torch.manual_seed(0)
+    torch.manual_seed(0 if which == 'sigma' else 3)
     t0 = time.time()
     ref = tr.PixArtTransformer2DModel(tcfg).eval()
     n = sum(p.numel() for p in ref.parameters())
-    print(f'torch PixArt-Sigma-512 built: {n/1e6:.0f}M params '
+    print(f'torch PixArt-{which}-512 built: {n/1e6:.0f}M params '
           f'({time.time()-t0:.1f}s)')
 
     ours = PixArtTransformer2D(cfg=cfg, taps=TapSpec.all())
