@@ -659,12 +659,24 @@ class FeatureExtractor:
                 raw, batch_size)
 
         self._rng, step_rng = jax.random.split(self._rng)
-        fn = self._get_step_fn(int(t),
-                               None if denoising_from is None else int(denoising_from),
-                               bool(use_control and self.control_pipe),
-                               bool(use_ddim_inversion))
-        feats = fn(self.params, img, pe, pooled, enc_mask, step_rng,
-                   *control_args)
+        if denoising_from is None and not use_ddim_inversion:
+            # t-generic program: the scheduler's timestep-dependent scalars
+            # travel as runtime arguments, so sweeping t (segmentation
+            # random-t training, extract_ensemble) reuses ONE compiled
+            # program instead of compiling per t
+            fn = self._get_step_fn_generic(
+                bool(use_control and self.control_pipe))
+            kit = {k: jnp.float32(v)
+                   for k, v in self._img2img_kit(int(t)).items()}
+            feats = fn(self.params, img, pe, pooled, enc_mask, step_rng,
+                       kit, *control_args)
+        else:
+            fn = self._get_step_fn(int(t),
+                                   None if denoising_from is None else int(denoising_from),
+                                   bool(use_control and self.control_pipe),
+                                   bool(use_ddim_inversion))
+            feats = fn(self.params, img, pe, pooled, enc_mask, step_rng,
+                       *control_args)
 
         if self.store_idx is not None:
             self._background_feats = select_background_encounters(
@@ -714,8 +726,9 @@ class FeatureExtractor:
             img = resize_tensor_batch(image, self.img_size)
         img = jnp.asarray(img, self.dtype)
         self._rng, step_rng = jax.random.split(self._rng)
-        feats = self._get_flux_step_fn(int(t))(self.params, img, pe, pooled,
-                                               step_rng)
+        kit = {k: jnp.float32(v) for k, v in self._flux_kit(int(t)).items()}
+        feats = self._get_flux_step_fn()(self.params, img, pe, pooled,
+                                         step_rng, kit)
         if self.store_idx is not None:
             self._background_feats = select_background_encounters(
                 feats, self.store_idx)
@@ -738,40 +751,50 @@ class FeatureExtractor:
             img = resize_tensor_batch(image, self.img_size)
         img = jnp.asarray(img, self.dtype)
         self._rng, step_rng = jax.random.split(self._rng)
-        feats = self._get_hunyuan_step_fn(int(t))(
-            self.params, img, bert_emb, bert_mask, t5_emb, t5_mask, step_rng)
+        kit = {k: jnp.float32(v) for k, v in self._hunyuan_kit(int(t)).items()}
+        feats = self._get_hunyuan_step_fn()(
+            self.params, img, bert_emb, bert_mask, t5_emb, t5_mask, step_rng,
+            kit)
         if self.store_idx is not None:
             self._background_feats = select_background_encounters(
                 feats, self.store_idx)
         return feats
 
-    def _get_hunyuan_step_fn(self, t: int, num_inference_steps: int = 50):
-        key = ('hunyuan', t, num_inference_steps)
+    def _hunyuan_kit(self, t: int, num_inference_steps: int = 50):
+        """Host scalars for the Hunyuan pipeline path: scheduler-mapped
+        timestep + DDPM noise-injection coefficients, so t is a runtime
+        argument of one compiled program."""
+        sched = self.scheduler
+        state = sched.set_timesteps(num_inference_steps)
+        timesteps, _ = sched.get_timesteps(state, num_inference_steps,
+                                           t / 1000)
+        latent_t = int(timesteps[0])
+        a = float(sched.alphas_cumprod[latent_t])
+        return {'T': float(latent_t), 'A': float(np.sqrt(a)),
+                'B': float(np.sqrt(1 - a))}
+
+    def _get_hunyuan_step_fn(self, num_inference_steps: int = 50):
+        key = ('hunyuan', num_inference_steps)
         if key in self._fn_cache:
             return self._fn_cache[key]
         """VAE encode -> DDPM add_noise at the img2img timestep -> ONE
         HunyuanDiT forward with taps (the reference pipeline's first-step
-        early return)."""
-        sched = self.scheduler
-        state = sched.set_timesteps(num_inference_steps)
-        timesteps, _ = sched.get_timesteps(state, num_inference_steps, t / 1000)
-        latent_t = int(timesteps[0])
-
+        early return).  Timestep scalars arrive via the kit argument."""
         vae = self.vae
         unet = self.unet
-        spec = self.spec
         resize_ratio = self.feature_resize
         feature_dtype = self.feature_dtype
         img_size = self.img_size
         attention_sel = self.attention
 
-        def step(params, img, bert_emb, bert_mask, t5_emb, t5_mask, rng):
+        def step(params, img, bert_emb, bert_mask, t5_emb, t5_mask, rng, kit):
             r1, r2 = jax.random.split(rng)
             latents = vae.apply({'params': params['vae']}, img, r1)
-            noise = jax.random.normal(r2, latents.shape, latents.dtype)
-            latents = sched.add_noise(state, latents, noise, latent_t)
+            dt = latents.dtype
+            noise = jax.random.normal(r2, latents.shape, dt)
+            latents = kit['A'].astype(dt) * latents + kit['B'].astype(dt) * noise
             out, tap_state = unet.apply(
-                {'params': params['unet']}, latents, float(latent_t),
+                {'params': params['unet']}, latents, kit['T'],
                 bert_emb, bert_mask, t5_emb, t5_mask,
                 mutable=['taps', 'attn_store'])
             taps = flatten_taps(tap_state.get('taps', {}))
@@ -788,17 +811,11 @@ class FeatureExtractor:
         self._fn_cache[key] = self._jit_sharded(step)
         return self._fn_cache[key]
 
-    def _get_flux_step_fn(self, t: int, num_inference_steps: int = 28):
-        key = ('flux', t, num_inference_steps)
-        if key in self._fn_cache:
-            return self._fn_cache[key]
-        """One jitted program: VAE encode -> flow-match noise scale at
-        sigma(t) -> 2x2 pack -> single Flux forward with taps (the
-        reference's early-``return`` pipeline path, overlay
-        pipeline_flux_img2img.py:841)."""
-        from .models.flux import pack_latents
+    def _flux_kit(self, t: int, num_inference_steps: int = 28):
+        """Host scalars for the Flux pipeline path: flow-match sigma(t)
+        under the resolution-shifted schedule (x_t = A*x0 + B*eps with
+        A = 1-sigma, B = sigma)."""
         from .schedulers.flow_match import calculate_shift
-
         sched = self.scheduler
         lat = self.img_size // self.vae_scale
         seq_len = (lat // 2) ** 2
@@ -806,8 +823,22 @@ class FeatureExtractor:
                              num_inference_steps)
         mu = calculate_shift(seq_len, sched.config)
         state = sched.set_timesteps(num_inference_steps, mu=mu, sigmas=sigmas)
-        timesteps, _ = sched.get_timesteps(state, num_inference_steps, t / 1000)
+        timesteps, _ = sched.get_timesteps(state, num_inference_steps,
+                                           t / 1000)
         latent_t = float(timesteps[0])
+        sigma = float(state.sigmas[sched._index(state, latent_t)])
+        return {'T': latent_t, 'A': 1.0 - sigma, 'B': sigma}
+
+    def _get_flux_step_fn(self, num_inference_steps: int = 28):
+        key = ('flux', num_inference_steps)
+        if key in self._fn_cache:
+            return self._fn_cache[key]
+        """One jitted program: VAE encode -> flow-match noise scale at
+        sigma(t) -> 2x2 pack -> single Flux forward with taps (the
+        reference's early-``return`` pipeline path, overlay
+        pipeline_flux_img2img.py:841).  Timestep scalars arrive via the
+        kit argument."""
+        from .models.flux import pack_latents
 
         vae = self.vae
         unet = self.unet
@@ -816,18 +847,223 @@ class FeatureExtractor:
         img_size = self.img_size
         attention_sel = self.attention
 
-        def step(params, img, pe, pooled, rng):
+        def step(params, img, pe, pooled, rng, kit):
             r1, r2 = jax.random.split(rng)
             latents = vae.apply({'params': params['vae']}, img, r1)
-            noise = jax.random.normal(r2, latents.shape, latents.dtype)
-            latents = sched.scale_noise(state, latents, noise, latent_t)
+            dt = latents.dtype
+            noise = jax.random.normal(r2, latents.shape, dt)
+            latents = kit['A'].astype(dt) * latents + kit['B'].astype(dt) * noise
             packed = pack_latents(latents)
             _, tap_state = unet.apply(
-                {'params': params['unet']}, packed, latent_t, pe, pooled,
+                {'params': params['unet']}, packed, kit['T'], pe, pooled,
                 mutable=['taps', 'attn_store'])
             taps = flatten_taps(tap_state.get('taps', {}))
             feats = postprocess_taps(taps, resize_ratio=resize_ratio,
                                      out_dtype=feature_dtype)
+            if attention_sel:
+                agg = _aggregate_attention(
+                    flatten_taps(tap_state.get('attn_store', {})),
+                    attention_sel, img_size, feature_dtype)
+                if agg is not None:
+                    feats['attn'] = agg
+            return feats
+
+        self._fn_cache[key] = self._jit_sharded(step)
+        return self._fn_cache[key]
+
+    def _img2img_kit(self, t: int) -> Dict[str, float]:
+        """Host-side scalars for one img2img extraction step at ``t``.
+
+        Everything timestep-dependent in the single-step program reduces to
+        seven floats, so ``t`` can be a RUNTIME argument of one jitted
+        program instead of a compile-time constant (a program per t):
+
+          T        scheduler-mapped model timestep (reference
+                   ``t = timesteps[:1]``, diffusion_feature.py:295)
+          A, B     noise injection  latents <- A*latents + B*noise
+                   (DDPM-family sqrt(ᾱ)/sqrt(1-ᾱ); Euler 1/σ)
+          S        scale_model_input divisor (Euler sqrt(σ²+1), else 1)
+          C1,C2,C3 one *fresh-state* scheduler step for the vae-out decode
+                   (diffusion_feature.py:477-485):
+                   prev = C1*x0 + C2*latents + C3*model_output
+        """
+        cache = getattr(self, '_kit_cache', None)
+        if cache is None:
+            cache = self._kit_cache = {}
+        if t in cache:
+            return cache[t]
+        from .schedulers.diffusion import (
+            DDIMScheduler, DDPMScheduler, DPMSolverMultistepScheduler,
+            EulerDiscreteScheduler, PNDMScheduler,
+        )
+        sched = self.scheduler
+        state = sched.set_timesteps(1000)
+        timesteps, _ = sched.get_timesteps(state, 1000, t / 1000)
+        lt = timesteps[0]
+        pred = sched.config.prediction_type
+        acp = getattr(sched, 'alphas_cumprod', None)
+
+        if isinstance(sched, EulerDiscreteScheduler):
+            idx = sched._sigma_index(state, lt)
+            sigma = float(state.sigmas[idx])
+            sigma_next = float(state.sigmas[idx + 1])
+            A, B, S = 1.0, sigma, float(np.sqrt(sigma ** 2 + 1))
+            r = (sigma_next - sigma) / sigma
+            C1, C2, C3 = -r, 1.0 + r, 0.0
+        elif isinstance(sched, DPMSolverMultistepScheduler):
+            ts = np.asarray(state.timesteps)
+            idx = int(np.nonzero(ts == int(lt))[0][0])
+            prev_t = int(ts[idx + 1]) if idx + 1 < len(ts) else 0
+            ti = int(lt)
+            A = float(np.sqrt(acp[ti]))
+            B = float(np.sqrt(1 - acp[ti]))
+            S = 1.0
+            h = sched._lambda_t[prev_t] - sched._lambda_t[ti]
+            # first step: ets empty -> d = x0 (step() above)
+            C1 = float(-sched._alpha_t[prev_t] * np.expm1(-h))
+            C2 = float(sched._sigma_t[prev_t] / sched._sigma_t[ti])
+            C3 = 0.0
+        elif isinstance(sched, PNDMScheduler):
+            ti = int(lt)
+            step_size = (sched.config.num_train_timesteps
+                         // state.num_inference_steps)
+            prev_t = ti - step_size
+            a_t = float(acp[ti])
+            a_prev = float(acp[prev_t]) if prev_t >= 0 else 1.0
+            A, B, S = float(np.sqrt(a_t)), float(np.sqrt(1 - a_t)), 1.0
+            beta_t, beta_prev = 1 - a_t, 1 - a_prev
+            denom = a_t * np.sqrt(beta_prev) + np.sqrt(a_t * beta_t * a_prev)
+            # counter-0 PLMS: out = model_output (after the v-pred
+            # transform, folded host-side below); prev from _get_prev_sample
+            C1 = 0.0
+            C2 = float(np.sqrt(a_prev / a_t))
+            C3 = float(-(a_prev - a_t) / denom)
+            if pred == 'v_prediction':
+                # out' = sqrt(a_t)*mo + sqrt(beta_t)*sample
+                C2 += C3 * float(np.sqrt(beta_t))
+                C3 *= float(np.sqrt(a_t))
+        elif isinstance(sched, DDIMScheduler):
+            ti = int(lt)
+            step_size = (sched.config.num_train_timesteps
+                         // state.num_inference_steps)
+            prev_t = ti - step_size
+            a_t = float(acp[ti])
+            a_prev = (float(acp[prev_t]) if prev_t >= 0
+                      else sched.final_alpha_cumprod)
+            A, B, S = float(np.sqrt(a_t)), float(np.sqrt(1 - a_t)), 1.0
+            # prev = sqrt(a_prev)*x0 + sqrt(1-a_prev)*eps; eps folded for
+            # the pred type (epsilon: eps = mo; v: eps = A*mo + B*sample)
+            C1 = float(np.sqrt(a_prev))
+            if pred == 'v_prediction':
+                C2 = float(np.sqrt(1 - a_prev)) * B
+                C3 = float(np.sqrt(1 - a_prev)) * A
+            else:
+                C2 = 0.0
+                C3 = float(np.sqrt(1 - a_prev))
+        else:                                   # DDPM (IF / Hunyuan config)
+            assert isinstance(sched, DDPMScheduler), type(sched)
+            ti = int(lt)
+            step_size = (sched.config.num_train_timesteps
+                         // state.num_inference_steps)
+            prev_t = ti - step_size
+            a_t = float(acp[ti])
+            a_prev = float(acp[prev_t]) if prev_t >= 0 else 1.0
+            A, B, S = float(np.sqrt(a_t)), float(np.sqrt(1 - a_t)), 1.0
+            beta_prod = 1 - a_t
+            current_beta = 1 - a_t / a_prev
+            C1 = float(np.sqrt(a_prev) * current_beta / beta_prod)
+            C2 = float(np.sqrt(a_t / a_prev) * (1 - a_prev) / beta_prod)
+            C3 = 0.0
+
+        kit = {'T': float(lt), 'A': A, 'B': B, 'S': S,
+               'C1': C1, 'C2': C2, 'C3': C3}
+        cache[t] = kit
+        return kit
+
+    def _get_step_fn_generic(self, use_control: bool):
+        """The t-generic single-step extraction program (see _img2img_kit):
+        one compiled XLA program serves every timestep."""
+        key = ('stepT', use_control)
+        if key in self._fn_cache:
+            return self._fn_cache[key]
+        spec = self.spec
+        unet = self.unet
+        vae = self.vae
+        resize_ratio = self.feature_resize
+        feature_dtype = self.feature_dtype
+        img_size = self.img_size
+        attention_sel = self.attention
+        store_vae_output = self.store_vae_output
+        pred = spec.scheduler_config.prediction_type
+
+        is_pixart = spec.family == 'pixart'
+        added_static = (spec.unet is not None
+                        and getattr(spec.unet, 'addition_embed_type', None)
+                        == 'text_time')
+
+        def added_cond(pooled, bsz):
+            if not added_static:
+                return None
+            s = float(img_size)
+            time_ids = jnp.asarray(
+                [[s, s, 0.0, 0.0, s, s]], self.dtype).repeat(bsz, axis=0)
+            return {'text_embeds': pooled, 'time_ids': time_ids}
+
+        def step(params, img, pe, pooled, enc_mask, rng, kit, *control_args):
+            rng_vae, rng_noise = jax.random.split(rng)
+            if spec.is_pixel_space:
+                latents = img
+            else:
+                latents = vae.apply({'params': params['vae']}, img, rng_vae,
+                                    method=AutoencoderKL.__call__)
+            dt = latents.dtype
+            noise = jax.random.normal(rng_noise, latents.shape, dt)
+            latents = (kit['A'].astype(dt) * latents
+                       + kit['B'].astype(dt) * noise)
+            lat_in = latents / kit['S'].astype(dt)
+            T = kit['T']
+
+            down_res = mid_res = None
+            if use_control:
+                down_res, mid_res = self.control_pipe.encode_all(
+                    params['controlnet'], lat_in, T, pe, control_args,
+                    added_cond(pooled, lat_in.shape[0]))
+            if is_pixart:
+                out, tap_state = unet.apply(
+                    {'params': params['unet']}, lat_in, T, pe, enc_mask,
+                    mutable=['taps', 'attn_store'])
+                out = out[:, :latents.shape[1]]
+            else:
+                out, tap_state = unet.apply(
+                    {'params': params['unet']}, lat_in, T, pe,
+                    added_cond(pooled, latents.shape[0]),
+                    down_block_additional_residuals=down_res,
+                    mid_block_additional_residual=mid_res,
+                    mutable=['taps', 'attn_store'])
+
+            taps = flatten_taps(tap_state.get('taps', {}))
+            feats = postprocess_taps(taps, resize_ratio=resize_ratio,
+                                     out_dtype=feature_dtype)
+
+            if store_vae_output:
+                # one fresh-state scheduler step + decode
+                # (diffusion_feature.py:477-485)
+                A = kit['A'].astype(dt)
+                B = kit['B'].astype(dt)
+                if pred == 'v_prediction':
+                    x0 = A * latents - B * out
+                else:
+                    x0 = (latents - B * out) / A
+                lat2 = (kit['C1'].astype(dt) * x0
+                        + kit['C2'].astype(dt) * latents
+                        + kit['C3'].astype(dt) * out)
+                decoded = vae.apply(
+                    {'params': params['vae']},
+                    lat2 / spec.vae.scaling_factor + spec.vae.shift_factor,
+                    method=AutoencoderKL.decode)
+                feats['vae-out'] = decoded.astype(feature_dtype
+                                                  or decoded.dtype)
+
             if attention_sel:
                 agg = _aggregate_attention(
                     flatten_taps(tap_state.get('attn_store', {})),

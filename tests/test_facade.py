@@ -2,6 +2,7 @@
 
 import numpy as np
 import pytest
+import jax
 import jax.numpy as jnp
 from PIL import Image
 
@@ -198,3 +199,70 @@ class TestExternalModel:
         prompts = fe2.encode_prompt('a cat')
         feats = fe2.extract(prompts, 1, [make_image()], t=50)
         assert set(feats) == {'down-level0-repeat0-res-out'}
+
+
+class TestTGenericStep:
+    """t travels as a runtime argument of ONE compiled program
+    (facade._get_step_fn_generic): sweeping t must not multiply compiles,
+    and the generic program must reproduce the per-t specialized one."""
+
+    def _compare(self, version, layer, prompt_kind='tuple', t=250, **kw):
+        fe = FeatureExtractor(layer=layer, version=version, img_size=64,
+                              dtype='float32', **kw)
+        fe.feature_dtype = None   # compare pre-bf16-store-cast fp32 values
+        prompts = ('a probe' if prompt_kind == 'raw'
+                   else fe.encode_prompt('a probe'))
+        img = [make_image(3)]
+        fe._rng = jax.random.PRNGKey(11)
+        f_gen = fe.extract(prompts, 1, img, t=t)
+        # force the per-t specialized path (the denoising_from/ddim builder)
+        # on the same inputs and rng
+        spec_fn = fe._get_step_fn(t, None, False, False)
+        pe, enc_mask, pooled = None, None, None
+        if fe.spec.family == 'pixart':
+            pe, enc_mask, _, _ = prompts
+            enc_mask = jnp.asarray(enc_mask, jnp.int32)
+        elif fe.spec.clip_layer == 'penultimate':
+            pe, _, pooled, _ = prompts
+        else:
+            pe = prompts[0]
+        pe = jnp.asarray(pe, jnp.float32)
+        if pooled is not None:
+            pooled = jnp.asarray(pooled, jnp.float32)
+        from diffusion_feature_tpu.io.images import preprocess_pil_batch
+        arr = jnp.asarray(preprocess_pil_batch(img, 64), jnp.float32)
+        rng = jax.random.split(jax.random.PRNGKey(11))[1]
+        f_spec = spec_fn(fe.params, arr, pe, pooled, enc_mask, rng)
+        assert set(f_gen) == set(f_spec)
+        for k in f_gen:
+            np.testing.assert_allclose(
+                np.asarray(f_gen[k], np.float32),
+                np.asarray(f_spec[k], np.float32),
+                rtol=2e-5, atol=2e-5, err_msg=k)
+
+    def test_matches_specialized_sd_pndm_with_vae_out(self):
+        self._compare('test-sd', {'up-level1-repeat0-res-out': True,
+                                  'vae-out': True})
+
+    def test_matches_specialized_xl_euler(self):
+        self._compare('test-xl', {'up-level1-repeat0-res-out': True,
+                                  'vae-out': True})
+
+    def test_matches_specialized_pixart_dpm(self):
+        self._compare('test-pixart', {'vit-block0-out': True})
+
+    def test_matches_specialized_if_ddpm(self):
+        self._compare('test-if', {'up-level1-repeat0-res-out': True})
+
+    def test_one_program_for_many_t(self):
+        fe = FeatureExtractor(layer={'up-level1-repeat0-res-out': True},
+                              version='test-sd', img_size=64,
+                              dtype='float32')
+        prompts = fe.encode_prompt('a probe')
+        img = [make_image(0)]
+        fe.extract(prompts, 1, img, t=50)
+        n_after_first = len(fe._fn_cache)
+        for t in (100, 250, 400, 750):
+            fe.extract(prompts, 1, img, t=t)
+        assert len(fe._fn_cache) == n_after_first  # no per-t programs
+        assert ('stepT', False) in fe._fn_cache
