@@ -782,10 +782,6 @@ class FeatureExtractor:
         early return).  Timestep scalars arrive via the kit argument."""
         vae = self.vae
         unet = self.unet
-        resize_ratio = self.feature_resize
-        feature_dtype = self.feature_dtype
-        img_size = self.img_size
-        attention_sel = self.attention
 
         def step(params, img, bert_emb, bert_mask, t5_emb, t5_mask, rng, kit):
             r1, r2 = jax.random.split(rng)
@@ -797,16 +793,7 @@ class FeatureExtractor:
                 {'params': params['unet']}, latents, kit['T'],
                 bert_emb, bert_mask, t5_emb, t5_mask,
                 mutable=['taps', 'attn_store'])
-            taps = flatten_taps(tap_state.get('taps', {}))
-            feats = postprocess_taps(taps, resize_ratio=resize_ratio,
-                                     out_dtype=feature_dtype)
-            if attention_sel:
-                agg = _aggregate_attention(
-                    flatten_taps(tap_state.get('attn_store', {})),
-                    attention_sel, img_size, feature_dtype)
-                if agg is not None:
-                    feats['attn'] = agg
-            return feats
+            return self._collect_feats(tap_state)
 
         self._fn_cache[key] = self._jit_sharded(step)
         return self._fn_cache[key]
@@ -842,10 +829,6 @@ class FeatureExtractor:
 
         vae = self.vae
         unet = self.unet
-        resize_ratio = self.feature_resize
-        feature_dtype = self.feature_dtype
-        img_size = self.img_size
-        attention_sel = self.attention
 
         def step(params, img, pe, pooled, rng, kit):
             r1, r2 = jax.random.split(rng)
@@ -857,19 +840,37 @@ class FeatureExtractor:
             _, tap_state = unet.apply(
                 {'params': params['unet']}, packed, kit['T'], pe, pooled,
                 mutable=['taps', 'attn_store'])
-            taps = flatten_taps(tap_state.get('taps', {}))
-            feats = postprocess_taps(taps, resize_ratio=resize_ratio,
-                                     out_dtype=feature_dtype)
-            if attention_sel:
-                agg = _aggregate_attention(
-                    flatten_taps(tap_state.get('attn_store', {})),
-                    attention_sel, img_size, feature_dtype)
-                if agg is not None:
-                    feats['attn'] = agg
-            return feats
+            return self._collect_feats(tap_state)
 
         self._fn_cache[key] = self._jit_sharded(step)
         return self._fn_cache[key]
+
+    def _added_cond(self, pooled, bsz):
+        """SDXL text_time micro-conditioning dict (diffusion_feature.py:534)
+        — shared by every step builder so the paths cannot drift."""
+        spec = self.spec
+        if not (spec.unet is not None
+                and getattr(spec.unet, 'addition_embed_type', None)
+                == 'text_time'):
+            return None
+        s = float(self.img_size)
+        time_ids = jnp.asarray(
+            [[s, s, 0.0, 0.0, s, s]], self.dtype).repeat(bsz, axis=0)
+        return {'text_embeds': pooled, 'time_ids': time_ids}
+
+    def _collect_feats(self, tap_state):
+        """Shared extraction tail: tap flatten/post-process + attention-store
+        aggregation (reference feature store + aggregate_attention)."""
+        feats = postprocess_taps(flatten_taps(tap_state.get('taps', {})),
+                                 resize_ratio=self.feature_resize,
+                                 out_dtype=self.feature_dtype)
+        if self.attention:
+            agg = _aggregate_attention(
+                flatten_taps(tap_state.get('attn_store', {})),
+                self.attention, self.img_size, self.feature_dtype)
+            if agg is not None:
+                feats['attn'] = agg
+        return feats
 
     def _img2img_kit(self, t: int) -> Dict[str, float]:
         """Host-side scalars for one img2img extraction step at ``t``.
@@ -883,6 +884,9 @@ class FeatureExtractor:
           A, B     noise injection  latents <- A*latents + B*noise
                    (DDPM-family sqrt(ᾱ)/sqrt(1-ᾱ); Euler 1/σ)
           S        scale_model_input divisor (Euler sqrt(σ²+1), else 1)
+          X1,X2    x0 reconstruction  x0 = X1*latents + X2*model_output
+                   (prediction-type- AND family-correct: Euler v-pred
+                   differs from the DDPM-family formula)
           C1,C2,C3 one *fresh-state* scheduler step for the vae-out decode
                    (diffusion_feature.py:477-485):
                    prev = C1*x0 + C2*latents + C3*model_output
@@ -908,6 +912,11 @@ class FeatureExtractor:
             sigma = float(state.sigmas[idx])
             sigma_next = float(state.sigmas[idx + 1])
             A, B, S = 1.0, sigma, float(np.sqrt(sigma ** 2 + 1))
+            if pred == 'v_prediction':
+                c = sigma ** 2 + 1
+                X1, X2 = 1.0 / c, float(-sigma / np.sqrt(c))
+            else:
+                X1, X2 = 1.0, -sigma
             r = (sigma_next - sigma) / sigma
             C1, C2, C3 = -r, 1.0 + r, 0.0
         elif isinstance(sched, DPMSolverMultistepScheduler):
@@ -918,6 +927,10 @@ class FeatureExtractor:
             A = float(np.sqrt(acp[ti]))
             B = float(np.sqrt(1 - acp[ti]))
             S = 1.0
+            if pred == 'v_prediction':
+                X1, X2 = A, -B
+            else:
+                X1, X2 = 1.0 / A, -B / A
             h = sched._lambda_t[prev_t] - sched._lambda_t[ti]
             # first step: ets empty -> d = x0 (step() above)
             C1 = float(-sched._alpha_t[prev_t] * np.expm1(-h))
@@ -931,6 +944,10 @@ class FeatureExtractor:
             a_t = float(acp[ti])
             a_prev = float(acp[prev_t]) if prev_t >= 0 else 1.0
             A, B, S = float(np.sqrt(a_t)), float(np.sqrt(1 - a_t)), 1.0
+            if pred == 'v_prediction':
+                X1, X2 = A, -B
+            else:
+                X1, X2 = 1.0 / A, -B / A
             beta_t, beta_prev = 1 - a_t, 1 - a_prev
             denom = a_t * np.sqrt(beta_prev) + np.sqrt(a_t * beta_t * a_prev)
             # counter-0 PLMS: out = model_output (after the v-pred
@@ -951,6 +968,10 @@ class FeatureExtractor:
             a_prev = (float(acp[prev_t]) if prev_t >= 0
                       else sched.final_alpha_cumprod)
             A, B, S = float(np.sqrt(a_t)), float(np.sqrt(1 - a_t)), 1.0
+            if pred == 'v_prediction':
+                X1, X2 = A, -B
+            else:
+                X1, X2 = 1.0 / A, -B / A
             # prev = sqrt(a_prev)*x0 + sqrt(1-a_prev)*eps; eps folded for
             # the pred type (epsilon: eps = mo; v: eps = A*mo + B*sample)
             C1 = float(np.sqrt(a_prev))
@@ -969,6 +990,10 @@ class FeatureExtractor:
             a_t = float(acp[ti])
             a_prev = float(acp[prev_t]) if prev_t >= 0 else 1.0
             A, B, S = float(np.sqrt(a_t)), float(np.sqrt(1 - a_t)), 1.0
+            if pred == 'v_prediction':
+                X1, X2 = A, -B
+            else:
+                X1, X2 = 1.0 / A, -B / A
             beta_prod = 1 - a_t
             current_beta = 1 - a_t / a_prev
             C1 = float(np.sqrt(a_prev) * current_beta / beta_prod)
@@ -976,6 +1001,7 @@ class FeatureExtractor:
             C3 = 0.0
 
         kit = {'T': float(lt), 'A': A, 'B': B, 'S': S,
+               'X1': float(X1), 'X2': float(X2),
                'C1': C1, 'C2': C2, 'C3': C3}
         cache[t] = kit
         return kit
@@ -989,25 +1015,10 @@ class FeatureExtractor:
         spec = self.spec
         unet = self.unet
         vae = self.vae
-        resize_ratio = self.feature_resize
         feature_dtype = self.feature_dtype
-        img_size = self.img_size
-        attention_sel = self.attention
         store_vae_output = self.store_vae_output
-        pred = spec.scheduler_config.prediction_type
-
         is_pixart = spec.family == 'pixart'
-        added_static = (spec.unet is not None
-                        and getattr(spec.unet, 'addition_embed_type', None)
-                        == 'text_time')
-
-        def added_cond(pooled, bsz):
-            if not added_static:
-                return None
-            s = float(img_size)
-            time_ids = jnp.asarray(
-                [[s, s, 0.0, 0.0, s, s]], self.dtype).repeat(bsz, axis=0)
-            return {'text_embeds': pooled, 'time_ids': time_ids}
+        added_cond = self._added_cond
 
         def step(params, img, pe, pooled, enc_mask, rng, kit, *control_args):
             rng_vae, rng_noise = jax.random.split(rng)
@@ -1041,19 +1052,13 @@ class FeatureExtractor:
                     mid_block_additional_residual=mid_res,
                     mutable=['taps', 'attn_store'])
 
-            taps = flatten_taps(tap_state.get('taps', {}))
-            feats = postprocess_taps(taps, resize_ratio=resize_ratio,
-                                     out_dtype=feature_dtype)
+            feats = self._collect_feats(tap_state)
 
             if store_vae_output:
                 # one fresh-state scheduler step + decode
                 # (diffusion_feature.py:477-485)
-                A = kit['A'].astype(dt)
-                B = kit['B'].astype(dt)
-                if pred == 'v_prediction':
-                    x0 = A * latents - B * out
-                else:
-                    x0 = (latents - B * out) / A
+                x0 = (kit['X1'].astype(dt) * latents
+                      + kit['X2'].astype(dt) * out)
                 lat2 = (kit['C1'].astype(dt) * x0
                         + kit['C2'].astype(dt) * latents
                         + kit['C3'].astype(dt) * out)
@@ -1063,13 +1068,6 @@ class FeatureExtractor:
                     method=AutoencoderKL.decode)
                 feats['vae-out'] = decoded.astype(feature_dtype
                                                   or decoded.dtype)
-
-            if attention_sel:
-                agg = _aggregate_attention(
-                    flatten_taps(tap_state.get('attn_store', {})),
-                    attention_sel, img_size, feature_dtype)
-                if agg is not None:
-                    feats['attn'] = agg
             return feats
 
         self._fn_cache[key] = self._jit_sharded(step)
@@ -1111,24 +1109,10 @@ class FeatureExtractor:
 
         unet = self.unet
         vae = self.vae
-        taps_spec = self.taps
-        resize_ratio = self.feature_resize
         feature_dtype = self.feature_dtype
-        img_size = self.img_size
-        attention_sel = self.attention
 
         is_pixart = spec.family == 'pixart'
-        added_static = (spec.unet is not None
-                        and getattr(spec.unet, 'addition_embed_type', None)
-                        == 'text_time')
-
-        def added_cond(pooled, bsz):
-            if not added_static:
-                return None
-            s = float(img_size)
-            time_ids = jnp.asarray(
-                [[s, s, 0.0, 0.0, s, s]], self.dtype).repeat(bsz, axis=0)
-            return {'text_embeds': pooled, 'time_ids': time_ids}
+        added_cond = self._added_cond
 
         def unet_forward(params, latents, timestep, pe, pooled, enc_mask,
                          down_res=None, mid_res=None):
@@ -1182,10 +1166,7 @@ class FeatureExtractor:
             noise_pred, tap_state = unet_forward(
                 params, latents, t, pe, pooled, enc_mask, down_res, mid_res)
 
-            taps = flatten_taps(tap_state.get('taps', {}))
-            feats = postprocess_taps(taps, resize_ratio=resize_ratio,
-                                     out_dtype=feature_dtype)
-
+            feats = self._collect_feats(tap_state)
             if self.store_vae_output:
                 # decode one denoised step (diffusion_feature.py:477-485)
                 lat2, _ = sched.step(state, noise_pred, t, latents)
@@ -1194,13 +1175,6 @@ class FeatureExtractor:
                     lat2 / spec.vae.scaling_factor + spec.vae.shift_factor,
                     method=AutoencoderKL.decode)
                 feats['vae-out'] = decoded.astype(feature_dtype or decoded.dtype)
-
-            if attention_sel:
-                agg = _aggregate_attention(
-                    flatten_taps(tap_state.get('attn_store', {})),
-                    attention_sel, img_size, feature_dtype)
-                if agg is not None:
-                    feats['attn'] = agg
             return feats
 
         self._fn_cache[key] = self._jit_sharded(step)

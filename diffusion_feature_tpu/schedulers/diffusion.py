@@ -425,9 +425,9 @@ class DPMSolverMultistepScheduler(DiffusionScheduler):
 # carry (``scan_carry_init``; x0 history for the multistep DPM-Solver).
 # Cold-compile time then scales with ONE denoiser forward instead of N
 # (VERDICT r2 weak-item 1).  The facade detects support via
-# ``hasattr(sched, 'scan_plan')``; PNDM/PLMS stays unrolled — its first two
-# steps rewire sample/timestep in a way that is not a per-position
-# coefficient row.
+# ``hasattr(sched, 'scan_plan')``.  All five families scan — even
+# PLMS, whose counter==0/1 sample/timestep rewiring becomes per-position
+# flags and whose ets history rides the carry as a 4-slot ring.
 
 
 def _scan_x0(config, model_output, sample, sqrt_a, sqrt_1ma):
@@ -518,9 +518,12 @@ def _ddpm_scan_step(self, row, model_output, sample, noise=None, extra=None):
         if predicted_variance is not None:
             frac = (predicted_variance.astype(jnp.float32) + 1) / 2
             log_var = frac * row['max_log'] + (1 - frac) * row['min_log']
-            prev = prev + row['noise_mask'] * (
-                jnp.exp(0.5 * log_var) * noise.astype(jnp.float32)
-            ).astype(sample.dtype)
+            # keep everything after the f32 variance math in sample.dtype:
+            # a float32 noise_mask product would promote the scan carry and
+            # fail lax.scan's carry-type check under bf16
+            prev = prev + (row['noise_mask']
+                           * jnp.exp(0.5 * log_var)
+                           * noise.astype(jnp.float32)).astype(sample.dtype)
         else:
             prev = prev + row['noise_std'].astype(sample.dtype) * noise
     return prev, None

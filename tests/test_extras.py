@@ -274,3 +274,19 @@ class TestScanSampler:
         assert im_scan.shape == im_unroll.shape
         assert len(f_scan['vit-block0-out']) == 5
         self._assert_match(im_scan, f_scan, im_unroll, f_unroll)
+
+    def test_scan_sampler_bf16_dtypes(self):
+        """Production dtype regression (code-review r3): a float32
+        coefficient multiplying outside the .astype(sample.dtype) cast
+        promotes the scan carry and fails lax.scan's carry-type check.
+        Covers the learned-range DDPM branch (IF) and euler (XL)."""
+        for version, layer in (('test-if', {'up-level1-repeat0-res-out': True}),
+                               ('test-xl', {'up-level1-repeat0-res-out': True}),
+                               ('test-sd', LAYER)):
+            fe = FeatureExtractor(layer=layer, version=version, img_size=32,
+                                  dtype='bfloat16')
+            prompts = fe.encode_prompt('a probe')
+            images, feats = fe.sample(prompts, batch_size=1,
+                                      num_inference_steps=3,
+                                      guidance_scale=5.0)
+            assert np.isfinite(np.asarray(images, np.float32)).all(), version
