@@ -1473,7 +1473,10 @@ class FeatureExtractor:
                     merged[k] = merged.get(k, ()) + vs
             return images, merged
 
-        self._fn_cache[key] = jax.jit(run_scan if use_scan else run)
+        # _jit_sharded batch-shards arg[1] (here the prompt embeds, whose
+        # leading dim is the generation batch) over 'dp' and places params
+        # once — multi-chip generation from the same facade mesh knob
+        self._fn_cache[key] = self._jit_sharded(run_scan if use_scan else run)
         return self._fn_cache[key]
 
     # ------------------------------------------------------------- background

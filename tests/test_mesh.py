@@ -218,3 +218,31 @@ class TestScarceViz:
         img = np.asarray(Image.open(tmp_path / 'visualizations' / 'h.png'))
         expected = get_palette('horse_21')[1]
         assert (img.reshape(-1, 3) == expected).all()
+
+
+class TestMeshSampling:
+    def test_dp_sharded_sample_matches_unsharded(self):
+        """sample() rides the same mesh knob as extract(): the generation
+        batch shards over dp (prompt embeds are arg[1] of the jitted run)
+        and must reproduce the unsharded images/features."""
+        mesh = make_mesh(dp=4, tp=1, devices=jax.devices()[:4])
+        kw = dict(layer={'up-level1-repeat0-res-out': True},
+                  version='test-xl', img_size=64, dtype='float32', seed=0)
+        fe_mesh = FeatureExtractor(mesh=mesh, **kw)
+        fe_plain = FeatureExtractor(**kw)
+        _fp32_features(fe_mesh, fe_plain)
+        prompts = fe_plain.encode_prompt('a cat')
+        fe_mesh._rng = jax.random.PRNGKey(9)
+        fe_plain._rng = jax.random.PRNGKey(9)
+        im1, f1 = fe_mesh.sample(prompts, batch_size=4,
+                                 num_inference_steps=3, guidance_scale=5.0)
+        im2, f2 = fe_plain.sample(prompts, batch_size=4,
+                                  num_inference_steps=3, guidance_scale=5.0)
+        assert len(im1.sharding.device_set) == 4
+        assert np.allclose(np.asarray(im1, np.float32),
+                           np.asarray(im2, np.float32), **TIGHT)
+        k = 'up-level1-repeat0-res-out'
+        for a, b in zip(f1[k], f2[k]):
+            assert np.allclose(np.asarray(a, np.float32),
+                               np.asarray(b, np.float32),
+                               rtol=1e-4, atol=1e-4)
