@@ -927,10 +927,6 @@ class FeatureExtractor:
             A = float(np.sqrt(acp[ti]))
             B = float(np.sqrt(1 - acp[ti]))
             S = 1.0
-            if pred == 'v_prediction':
-                X1, X2 = A, -B
-            else:
-                X1, X2 = 1.0 / A, -B / A
             h = sched._lambda_t[prev_t] - sched._lambda_t[ti]
             # first step: ets empty -> d = x0 (step() above)
             C1 = float(-sched._alpha_t[prev_t] * np.expm1(-h))
@@ -944,10 +940,6 @@ class FeatureExtractor:
             a_t = float(acp[ti])
             a_prev = float(acp[prev_t]) if prev_t >= 0 else 1.0
             A, B, S = float(np.sqrt(a_t)), float(np.sqrt(1 - a_t)), 1.0
-            if pred == 'v_prediction':
-                X1, X2 = A, -B
-            else:
-                X1, X2 = 1.0 / A, -B / A
             beta_t, beta_prev = 1 - a_t, 1 - a_prev
             denom = a_t * np.sqrt(beta_prev) + np.sqrt(a_t * beta_t * a_prev)
             # counter-0 PLMS: out = model_output (after the v-pred
@@ -968,10 +960,6 @@ class FeatureExtractor:
             a_prev = (float(acp[prev_t]) if prev_t >= 0
                       else sched.final_alpha_cumprod)
             A, B, S = float(np.sqrt(a_t)), float(np.sqrt(1 - a_t)), 1.0
-            if pred == 'v_prediction':
-                X1, X2 = A, -B
-            else:
-                X1, X2 = 1.0 / A, -B / A
             # prev = sqrt(a_prev)*x0 + sqrt(1-a_prev)*eps; eps folded for
             # the pred type (epsilon: eps = mo; v: eps = A*mo + B*sample)
             C1 = float(np.sqrt(a_prev))
@@ -990,16 +978,15 @@ class FeatureExtractor:
             a_t = float(acp[ti])
             a_prev = float(acp[prev_t]) if prev_t >= 0 else 1.0
             A, B, S = float(np.sqrt(a_t)), float(np.sqrt(1 - a_t)), 1.0
-            if pred == 'v_prediction':
-                X1, X2 = A, -B
-            else:
-                X1, X2 = 1.0 / A, -B / A
             beta_prod = 1 - a_t
             current_beta = 1 - a_t / a_prev
             C1 = float(np.sqrt(a_prev) * current_beta / beta_prod)
             C2 = float(np.sqrt(a_t / a_prev) * (1 - a_prev) / beta_prod)
             C3 = 0.0
 
+        if not isinstance(sched, EulerDiscreteScheduler):
+            # DDPM-family x0 algebra (Euler computed its own above)
+            X1, X2 = (A, -B) if pred == 'v_prediction' else (1.0 / A, -B / A)
         kit = {'T': float(lt), 'A': A, 'B': B, 'S': S,
                'X1': float(X1), 'X2': float(X2),
                'C1': C1, 'C2': C2, 'C3': C3}
