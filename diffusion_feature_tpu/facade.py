@@ -1061,13 +1061,15 @@ class FeatureExtractor:
         return self._fn_cache[key]
 
     def _get_step_fn(self, t: int, denoising_from: Optional[int],
-                     use_control: bool, use_ddim_inversion: bool):
+                     use_control: bool, use_ddim_inversion: bool,
+                     unroll_denoise: bool = False):
         """Build & jit the fused extraction step for a given timestep config.
 
         Reproduces reference extract() steps 3-9 (diffusion_feature.py:288-517)
         as one XLA program.
         """
-        key = ('step', t, denoising_from, use_control, use_ddim_inversion)
+        key = ('step', t, denoising_from, use_control, use_ddim_inversion,
+               unroll_denoise)
         if key in self._fn_cache:
             return self._fn_cache[key]
         spec = self.spec
@@ -1100,6 +1102,15 @@ class FeatureExtractor:
 
         is_pixart = spec.family == 'pixart'
         added_cond = self._added_cond
+        # denoising_from walk: per-position coefficient rows so the N
+        # intermediate forwards run under one lax.scan body (same machinery
+        # as the sampling loop; PLMS history rides the carry).  Intermediate
+        # tap/attn-store encounters are discarded either way — the reference
+        # store's last-write-wins semantics keep only the final forward.
+        denoise_plan = None
+        if denoise_ts and not unroll_denoise and hasattr(sched, 'scan_plan'):
+            denoise_plan = sched.scan_plan(
+                state, timesteps=np.asarray(denoise_ts))
 
         def unet_forward(params, latents, timestep, pe, pooled, enc_mask,
                          down_res=None, mid_res=None):
@@ -1136,11 +1147,38 @@ class FeatureExtractor:
                 noise = jax.random.normal(rng_noise, latents.shape, latents.dtype)
                 latents = sched.add_noise(state, latents, noise, latent_t)
 
-            st = state
-            for ts in denoise_ts:
-                noise_pred, _ = unet_forward(params, latents, ts, pe, pooled,
-                                             enc_mask)
-                latents, st = sched.step(st, noise_pred, ts, latents)
+            if denoise_plan is not None:
+                plan = {k: jnp.asarray(v) for k, v in denoise_plan.items()}
+                extra0 = sched.scan_carry_init(latents)
+                bsz = latents.shape[0]
+
+                def walk(carry, row):
+                    lat, extra = carry
+                    model_in = lat
+                    if 'scale' in plan:
+                        model_in = model_in * row['scale'].astype(lat.dtype)
+                    if is_pixart:
+                        out, _ = unet.apply(
+                            {'params': params['unet']}, model_in,
+                            row['timestep'], pe, enc_mask,
+                            mutable=['taps', 'attn_store'])
+                        out = out[:, :lat.shape[1]]
+                    else:
+                        out, _ = unet.apply(
+                            {'params': params['unet']}, model_in,
+                            row['timestep'], pe, added_cond(pooled, bsz),
+                            mutable=['taps', 'attn_store'])
+                    lat, extra = sched.scan_step(row, out, lat, None, extra)
+                    return (lat, extra), None
+
+                (latents, _), _ = jax.lax.scan(
+                    walk, (latents, extra0), plan)
+            else:
+                st = state
+                for ts in denoise_ts:
+                    noise_pred, _ = unet_forward(params, latents, ts, pe,
+                                                 pooled, enc_mask)
+                    latents, st = sched.step(st, noise_pred, ts, latents)
 
             down_res = mid_res = None
             if use_control:

@@ -446,13 +446,25 @@ def _no_extra(self, latents):
     return None
 
 
-def _euler_scan_plan(self, state: SchedulerState) -> dict:
+def _euler_scan_plan(self, state: SchedulerState, timesteps=None) -> dict:
+    """``timesteps`` restricts the plan to a consecutive subset of the
+    inference ladder (the facade's denoising_from walk); sigma_next still
+    comes from the FULL schedule, as step() would resolve it."""
     sig = np.asarray(state.sigmas, np.float32)
+    if timesteps is None:
+        ts = np.asarray(state.timesteps, np.float32)
+        sigma = sig[:-1]
+        sigma_next = sig[1:]
+    else:
+        ts = np.asarray(timesteps, np.float32)
+        idxs = np.asarray([self._sigma_index(state, t) for t in ts])
+        sigma = sig[idxs]
+        sigma_next = sig[idxs + 1]
     return {
-        'timestep': np.asarray(state.timesteps, np.float32),
-        'scale': (1.0 / np.sqrt(sig[:-1] ** 2 + 1)).astype(np.float32),
-        'sigma': sig[:-1],
-        'dsigma': (sig[1:] - sig[:-1]).astype(np.float32),
+        'timestep': ts,
+        'scale': (1.0 / np.sqrt(sigma ** 2 + 1)).astype(np.float32),
+        'sigma': sigma,
+        'dsigma': (sigma_next - sigma).astype(np.float32),
     }
 
 
@@ -475,8 +487,9 @@ EulerDiscreteScheduler.scan_step = _euler_scan_step
 EulerDiscreteScheduler.scan_carry_init = _no_extra
 
 
-def _ddpm_scan_plan(self, state: SchedulerState) -> dict:
-    ts = np.asarray(state.timesteps, np.int64)
+def _ddpm_scan_plan(self, state: SchedulerState, timesteps=None) -> dict:
+    ts = np.asarray(state.timesteps if timesteps is None else timesteps,
+                    np.int64)
     step_size = self.config.num_train_timesteps // state.num_inference_steps
     prev = ts - step_size
     a_t = self.alphas_cumprod[ts]
@@ -534,7 +547,7 @@ DDPMScheduler.scan_step = _ddpm_scan_step
 DDPMScheduler.scan_carry_init = _no_extra
 
 
-def _pndm_scan_plan(self, state: SchedulerState) -> dict:
+def _pndm_scan_plan(self, state: SchedulerState, timesteps=None) -> dict:
     """PLMS is scannable too: which ets are blended (and the counter==1
     sample/timestep rewiring) depends only on the step POSITION, so the
     multistep history rides the scan carry as a 4-slot ring buffer.
@@ -544,7 +557,8 @@ def _pndm_scan_plan(self, state: SchedulerState) -> dict:
     the ORIGINAL sample from t0 -> t1 with the averaged output; positions
     >= 2 append and blend the newest 2/3/4 history entries with the
     Adams-Bashforth weights."""
-    ts = np.asarray(state.timesteps, np.int64)
+    ts = np.asarray(state.timesteps if timesteps is None else timesteps,
+                    np.int64)
     n = len(ts)
     step_size = self.config.num_train_timesteps // state.num_inference_steps
     pos = np.arange(n)
@@ -619,13 +633,21 @@ PNDMScheduler.scan_step = _pndm_scan_step
 PNDMScheduler.scan_carry_init = _pndm_carry_init
 
 
-def _dpm_scan_plan(self, state: SchedulerState) -> dict:
+def _dpm_scan_plan(self, state: SchedulerState, timesteps=None) -> dict:
     """DPM-Solver++(2M): the 2nd-order history weight 1/(2r) depends only on
     position (r from consecutive λ gaps), so the multistep update scans with
-    the previous x0 as the carried ``extra``."""
-    ts = np.asarray(state.timesteps, np.int64)
+    the previous x0 as the carried ``extra``.  With a ``timesteps`` subset,
+    each prev comes from the FULL ladder (as step() resolves it)."""
+    full = np.asarray(state.timesteps, np.int64)
+    if timesteps is None:
+        ts = full
+        prev = np.concatenate([ts[1:], [0]])
+    else:
+        ts = np.asarray(timesteps, np.int64)
+        idxs = np.asarray([int(np.nonzero(full == t)[0][0]) for t in ts])
+        prev = np.where(idxs + 1 < len(full),
+                        full[np.minimum(idxs + 1, len(full) - 1)], 0)
     n = len(ts)
-    prev = np.concatenate([ts[1:], [0]])
     lam_s = self._lambda_t[ts]
     lam_p = self._lambda_t[prev]
     h = lam_p - lam_s
