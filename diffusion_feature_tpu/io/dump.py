@@ -80,6 +80,11 @@ def save_batch(
     ``writer``: optional native AsyncDumpWriter — IO then overlaps the next
     batch's device compute (caller must flush()/close())."""
     written = []
+    if not features:
+        raise ValueError(
+            'no features to write: the extraction returned an empty dict '
+            '(every requested layer id was unknown/filtered — run with '
+            'layer validation on, or --show_all_layers, to see valid ids)')
     some = next(iter(features.values()))
     batch = np.asarray(some).shape[0]
 

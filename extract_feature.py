@@ -84,6 +84,9 @@ def build_parser():
                              'with --weights unless tp>1 or a LoRA merges')
     # debug / observability
     parser.add_argument('--show_all_layers', action='store_true')
+    parser.add_argument('--no_validate_layers', action='store_true',
+                        help='skip the unknown-layer-id check (restores the '
+                             "reference's silent-drop behavior)")
     parser.add_argument('--profile', type=str, default=None, metavar='DIR',
                         help='capture a jax.profiler trace of the extraction '
                              'loop into DIR (view with xprof/tensorboard)')
@@ -130,6 +133,7 @@ def main(argv=None):
         img_size=args.img_size,
         weights=args.weights,
         transformer_8bit=args.transformer_8bit,
+        validate_layers=not args.no_validate_layers,
     )
 
     # input list (reference :68-75)
