@@ -441,16 +441,31 @@ class FeatureExtractor:
                         te.init(jax.random.fold_in(r3, i), ids)['params'])
                 return p
 
-        self.params = init_all()
-        if self.dtype != jnp.float32:
-            # store weights at the compute dtype (reference keeps fp16
-            # weights on GPU): halves HBM traffic and avoids per-op casts
-            self.params = jax.tree.map(
-                lambda x: x.astype(self.dtype)
-                if hasattr(x, 'dtype') and x.dtype == jnp.float32 else x,
-                self.params)
         if weights:
+            # weights will replace EVERY leaf (convert_torch_state is
+            # strict), so only the param SHAPES are needed up front:
+            # jax.eval_shape allocates nothing.  Materializing a random
+            # fp32 init first would double peak HBM (SDXL: +10.3 GiB) and
+            # make real-size Flux-12B un-loadable on one chip outright.
+            self.params = jax.eval_shape(init_all)
             self._load_weights(weights)
+        else:
+            self.params = init_all()
+            if self.dtype != jnp.float32:
+                # store weights at the compute dtype (reference keeps fp16
+                # weights on GPU): halves HBM traffic and avoids per-op
+                # casts.  Cast leaf-by-leaf with the fp32 tree dismantled
+                # first so each source buffer frees as it converts — a
+                # whole-tree tree_map holds both precisions at once
+                # (SDXL random-init at bf16: 15.5 GiB transient, OOM on a
+                # 16-GiB chip).
+                tree, self.params = self.params, None
+                leaves, treedef = jax.tree.flatten(tree)
+                del tree
+                for i, x in enumerate(leaves):
+                    if hasattr(x, 'dtype') and x.dtype == jnp.float32:
+                        leaves[i] = x.astype(self.dtype)
+                self.params = jax.tree.unflatten(treedef, leaves)
 
     def _load_weights(self, root: str):
         """Fill the random-init trees from a local diffusers checkpoint dir."""
