@@ -1127,25 +1127,31 @@ class FeatureExtractor:
             denoise_plan = sched.scan_plan(
                 state, timesteps=np.asarray(denoise_ts))
 
-        def unet_forward(params, latents, timestep, pe, pooled, enc_mask,
-                         down_res=None, mid_res=None):
-            bsz = latents.shape[0]
-            lat_in = sched.scale_model_input(state, latents, timestep)
+        def denoiser_apply(params, model_in, timestep, pe, pooled, enc_mask,
+                           down_res=None, mid_res=None):
+            """One denoiser forward on an already-scaled input; timestep may
+            be static (final forward) or traced (scan walk)."""
             if is_pixart:
                 out, tap_state = unet.apply(
-                    {'params': params['unet']}, lat_in, float(timestep), pe,
+                    {'params': params['unet']}, model_in, timestep, pe,
                     enc_mask, mutable=['taps', 'attn_store'])
                 # learned-sigma models return 2x latent channels; the noise
                 # prediction is the first half (diffusers scheduler contract)
-                out = out[:, :latents.shape[1]]
+                out = out[:, :model_in.shape[1]]
             else:
                 out, tap_state = unet.apply(
-                    {'params': params['unet']}, lat_in, float(timestep), pe,
-                    added_cond(pooled, bsz),
+                    {'params': params['unet']}, model_in, timestep, pe,
+                    added_cond(pooled, model_in.shape[0]),
                     down_block_additional_residuals=down_res,
                     mid_block_additional_residual=mid_res,
                     mutable=['taps', 'attn_store'])
             return out, tap_state
+
+        def unet_forward(params, latents, timestep, pe, pooled, enc_mask,
+                         down_res=None, mid_res=None):
+            lat_in = sched.scale_model_input(state, latents, timestep)
+            return denoiser_apply(params, lat_in, float(timestep), pe, pooled,
+                                  enc_mask, down_res, mid_res)
 
         def step(params, img, pe, pooled, enc_mask, rng, *control_args):
             rng_vae, rng_noise = jax.random.split(rng)
@@ -1165,24 +1171,15 @@ class FeatureExtractor:
             if denoise_plan is not None:
                 plan = {k: jnp.asarray(v) for k, v in denoise_plan.items()}
                 extra0 = sched.scan_carry_init(latents)
-                bsz = latents.shape[0]
 
                 def walk(carry, row):
                     lat, extra = carry
                     model_in = lat
                     if 'scale' in plan:
                         model_in = model_in * row['scale'].astype(lat.dtype)
-                    if is_pixart:
-                        out, _ = unet.apply(
-                            {'params': params['unet']}, model_in,
-                            row['timestep'], pe, enc_mask,
-                            mutable=['taps', 'attn_store'])
-                        out = out[:, :lat.shape[1]]
-                    else:
-                        out, _ = unet.apply(
-                            {'params': params['unet']}, model_in,
-                            row['timestep'], pe, added_cond(pooled, bsz),
-                            mutable=['taps', 'attn_store'])
+                    out, _ = denoiser_apply(params, model_in,
+                                            row['timestep'], pe, pooled,
+                                            enc_mask)
                     lat, extra = sched.scan_step(row, out, lat, None, extra)
                     return (lat, extra), None
 
@@ -1258,7 +1255,13 @@ class FeatureExtractor:
             return placed
 
         def wrapped(params, img, *rest):
-            img = jax.device_put(img, batch_sh)
+            # batches that don't divide the dp axis (e.g. sample() with the
+            # default batch_size=1 on a dp=4 mesh) fall back to replicated
+            # placement — correct, just without the dp speedup — instead of
+            # crashing in device_put with an unpartitionable-axis error
+            n_dp = dict(self.mesh.shape).get('dp', 1)
+            divisible = n_dp <= 1 or np.shape(img)[0] % n_dp == 0
+            img = jax.device_put(img, batch_sh if divisible else repl)
             # trace inside the mesh context so bare-PartitionSpec sharding
             # constraints (sequence parallelism, models/flux.py) resolve
             with self.mesh:

@@ -246,3 +246,31 @@ class TestMeshSampling:
             assert np.allclose(np.asarray(a, np.float32),
                                np.asarray(b, np.float32),
                                rtol=1e-4, atol=1e-4)
+
+    def test_sample_batch_indivisible_by_dp_falls_back_replicated(self):
+        """A batch that doesn't divide the dp axis (sample()'s default
+        batch_size=1 on dp=4) must run replicated instead of crashing in
+        device_put with an unpartitionable-axis error."""
+        mesh = make_mesh(dp=4, tp=1, devices=jax.devices()[:4])
+        kw = dict(layer={'up-level1-repeat0-res-out': True},
+                  version='test-sd', img_size=64, dtype='float32', seed=0)
+        fe_mesh = FeatureExtractor(mesh=mesh, **kw)
+        fe_plain = FeatureExtractor(**kw)
+        _fp32_features(fe_mesh, fe_plain)
+        prompts = fe_plain.encode_prompt('a cat')
+        fe_mesh._rng = jax.random.PRNGKey(3)
+        fe_plain._rng = jax.random.PRNGKey(3)
+        im1, _ = fe_mesh.sample(prompts, batch_size=1,
+                                num_inference_steps=2, guidance_scale=5.0)
+        im2, _ = fe_plain.sample(prompts, batch_size=1,
+                                 num_inference_steps=2, guidance_scale=5.0)
+        assert np.allclose(np.asarray(im1, np.float32),
+                           np.asarray(im2, np.float32), **TIGHT)
+        # extract() with an indivisible batch takes the same fallback
+        f1 = fe_mesh.extract(prompts, 3, [make_image(i) for i in range(3)],
+                             t=50)
+        f2 = fe_plain.extract(prompts, 3, [make_image(i) for i in range(3)],
+                              t=50)
+        assert np.allclose(
+            np.asarray(f1['up-level1-repeat0-res-out'], np.float32),
+            np.asarray(f2['up-level1-repeat0-res-out'], np.float32), **TIGHT)
