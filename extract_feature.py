@@ -119,6 +119,10 @@ def main(argv=None):
         n = args.dp * args.tp * args.sp
         mesh = make_mesh(dp=args.dp, tp=args.tp, sp=args.sp,
                          devices=jax.devices()[:n])
+        if args.batch_size % args.dp != 0:
+            print(f'warning: --batch_size {args.batch_size} does not divide '
+                  f'--dp {args.dp}; batches will run replicated (no dp '
+                  'speedup)', file=sys.stderr)
 
     df = FeatureExtractor(
         resolve_layer_config(args.layer),
@@ -190,11 +194,15 @@ def main(argv=None):
     try:
         for batch_paths, sublist in loader:
             n_real = len(sublist)
-            if mesh is not None and n_real % args.dp != 0:
-                # dp sharding needs a divisible batch: pad by repeating the
-                # last image, slice the padding off after extraction
-                pad = args.dp - (n_real % args.dp)
-                sublist = list(sublist) + [sublist[-1]] * pad
+            if n_real < args.batch_size:
+                # pad short (trailing) batches by repeating the last image
+                # and slice the padding off after extraction: the batch dim
+                # is a static shape, so a smaller final batch would force a
+                # second full compile of the step program (minutes at real
+                # size on a 1-core host); this also keeps the batch
+                # divisible by the dp mesh axis
+                sublist = (list(sublist) +
+                           [sublist[-1]] * (args.batch_size - n_real))
             features = df.extract(
                 prompts, len(sublist), sublist,
                 t=args.t,
