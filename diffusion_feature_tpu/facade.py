@@ -1301,6 +1301,15 @@ class FeatureExtractor:
         generate_with_extraction.py: a stock StableDiffusionPipeline run with
         the store capturing selected U-Net-call encounters).
 
+        Covers every zoo family: U-Nets, IF, PixArt (reference
+        np_inference_call parity), HunyuanDiT and Flux — the reference's
+        patched hunyuan/flux pipelines cannot generate at all (their denoise
+        loops early-return after one step); here generation follows the
+        stock HunyuanDiTPipeline / FluxPipeline semantics.  hunyuan and flux
+        accept a raw prompt string like their extract() paths; for flux,
+        guidance_scale feeds the guidance-distilled embedding (sensible
+        value 3.5) instead of a CFG double-batch.
+
         Returns (images (B,3,H,W) in [0,1], features) where features maps
         layer -> tuple of per-encounter tensors (CFG-doubled batch, exactly
         what the reference's store sees).  With set_background_extraction()
@@ -1308,12 +1317,9 @@ class FeatureExtractor:
         {layer: {step_idx: tensor}} view afterwards.
         """
         spec = self.spec
-        if spec.family not in ('unet', 'if', 'pixart'):
+        if spec.family not in ('unet', 'if', 'pixart', 'hunyuan', 'flux'):
             raise NotImplementedError(
-                'sampling loop is implemented for the U-Net families and '
-                'PixArt (the reference demo uses SD-1.5; PixArt keeps its '
-                'stock text2img path as np_inference_call, reference '
-                'pipeline_pixart_sigma.py:1020-1021)')
+                f'sampling loop does not cover family {spec.family!r}')
 
         def bcast(x, dtype=None):
             if x is None:
@@ -1323,7 +1329,40 @@ class FeatureExtractor:
                 (batch_size,) + tuple(np.shape(x)[1:]))
 
         enc_mask = None
-        if spec.family == 'pixart':
+        if spec.family == 'flux':
+            # Flux.1-dev is guidance-distilled: no CFG pass — guidance_scale
+            # rides the guidance embedding instead (stock FluxPipeline
+            # semantics; the reference's patched pipeline cannot generate at
+            # all, its denoise loop early-returns — overlay
+            # pipeline_flux_img2img.py:841).  Accepts a raw prompt string
+            # like the flux extract() path.
+            if isinstance(prompts, str):
+                prompts = self._encode_flux(prompts)
+            pe, _, pooled, _ = prompts
+            ne = neg_pooled = None
+            pe, pooled = bcast(pe), bcast(pooled)
+        elif spec.family == 'hunyuan':
+            # dual-stream conditioning (BERT 77 + T5 256) with masks; the T5
+            # stream rides the generic sampler's pooled slot.  Semantics
+            # follow the stock HunyuanDiTPipeline ([negative; positive] CFG
+            # order, learned-sigma halves dropped before the DDPM step) —
+            # the reference's patched pipeline cannot generate (overlay
+            # pipeline_hunyuandit.py:1080 early return).
+            pos, neg = self._hunyuan_sample_prompts(prompts, guidance_scale)
+            (pe, bmask), (t5, tmask) = pos
+            pe, pooled = bcast(pe), bcast(t5)
+            bmask = bcast(bmask, jnp.int32)
+            tmask = bcast(tmask, jnp.int32)
+            if neg is not None:
+                (ne, nbmask), (nt5, ntmask) = neg
+                ne, neg_pooled = bcast(ne), bcast(nt5)
+                enc_mask = (
+                    jnp.concatenate([bcast(nbmask, jnp.int32), bmask]),
+                    jnp.concatenate([bcast(ntmask, jnp.int32), tmask]))
+            else:
+                ne = neg_pooled = None
+                enc_mask = (bmask, tmask)
+        elif spec.family == 'pixart':
             # encode_prompt's raw 4-tuple with attention masks
             # (diffusion_feature.py:195-202); context order under CFG is
             # [negative; positive], so the masks concat the same way
@@ -1347,6 +1386,28 @@ class FeatureExtractor:
                 feats, self.store_idx)
         return images, (feats if return_features else None)
 
+    def _hunyuan_sample_prompts(self, prompts, guidance_scale: float):
+        """Resolve hunyuan sample() conditioning into (positive, negative)
+        nested encode pairs.  Accepts a raw prompt string (the negative ''
+        is encoded for CFG, HunyuanDiTPipeline's default), one
+        encode_prompt() result, or a (positive, negative) pair of them."""
+        do_cfg = guidance_scale > 1.0
+        if isinstance(prompts, str):
+            pos = self._encode_hunyuan(prompts)
+            return pos, (self._encode_hunyuan('') if do_cfg else None)
+        if isinstance(prompts[0][0], (tuple, list)):
+            pos, neg = prompts
+            return pos, (neg if do_cfg else None)
+        if not do_cfg:
+            return prompts, None
+        if not self.params.get('text'):
+            raise ValueError(
+                'hunyuan sample() with guidance_scale > 1 needs a negative '
+                'encoding: pass a raw prompt string, a (positive, negative) '
+                'pair of encode_prompt() results, or keep the text encoders '
+                'loaded so the empty negative prompt can be encoded here')
+        return prompts, self._encode_hunyuan('')
+
     def _get_sample_fn(self, num_inference_steps: int, guidance_scale: float,
                        unrolled: bool = False):
         """Build & jit the generation loop.
@@ -1365,13 +1426,29 @@ class FeatureExtractor:
             return self._fn_cache[key]
         spec = self.spec
         sched = self.scheduler
-        state0 = sched.set_timesteps(num_inference_steps)
-        timesteps = list(state0.timesteps)
-        do_cfg = guidance_scale > 1.0
-        unet = self.unet
-        vae = self.vae
+        is_flux = spec.family == 'flux'
+        is_hunyuan = spec.family == 'hunyuan'
         lat = (self.img_size // self.vae_scale
                if not spec.is_pixel_space else self.img_size)
+        if is_flux:
+            # resolution-shifted rectified-flow schedule over the packed
+            # token count (stock FluxPipeline: linspace sigmas + mu shift)
+            from .schedulers.flow_match import calculate_shift
+            sigmas = np.linspace(1.0, 1.0 / num_inference_steps,
+                                 num_inference_steps)
+            state0 = sched.set_timesteps(
+                num_inference_steps,
+                mu=calculate_shift((lat // 2) ** 2, sched.config),
+                sigmas=sigmas)
+        else:
+            state0 = sched.set_timesteps(num_inference_steps)
+        timesteps = list(state0.timesteps)
+        # flux is guidance-distilled: guidance_scale feeds the guidance
+        # embedding, never a CFG double-batch
+        do_cfg = guidance_scale > 1.0 and not is_flux
+        guidance_emb = guidance_scale * 1000.0  # FluxTransformer units
+        unet = self.unet
+        vae = self.vae
         lat_ch = (spec.unet.in_channels if spec.unet is not None
                   else spec.dit.in_channels if spec.family == 'pixart'
                   else spec.vae.latent_channels)
@@ -1380,11 +1457,18 @@ class FeatureExtractor:
                         == 'text_time')
         is_pixart = spec.family == 'pixart'
         img_size = self.img_size
+        from .models.flux import pack_latents, unpack_latents
         from .schedulers.diffusion import DDPMScheduler
         is_ddpm = isinstance(sched, DDPMScheduler)
         use_scan = (not unrolled) and hasattr(sched, 'scan_plan')
 
         def added_cond(pooled, neg_pooled, bsz):
+            if is_flux:
+                return pooled  # CLIP pooled projections
+            if is_hunyuan:
+                # the T5 stream rides the pooled slot (see sample())
+                return (jnp.concatenate([neg_pooled, pooled])
+                        if do_cfg else pooled)
             if not added_static:
                 return None
             s = float(img_size)
@@ -1396,7 +1480,19 @@ class FeatureExtractor:
 
         def forward(params, model_in, t, ctx, added, enc_mask):
             """One denoiser forward; returns (model_out, taps_tree)."""
-            if is_pixart:
+            if is_flux:
+                # ctx = T5 embeds, added = CLIP pooled (sample() packing)
+                out, tap_state = unet.apply(
+                    {'params': params['unet']}, model_in, t, ctx, added,
+                    guidance=guidance_emb, mutable=['taps', 'attn_store'])
+            elif is_hunyuan:
+                # ctx = BERT embeds, added = T5 embeds,
+                # enc_mask = (bert_mask, t5_mask), CFG-concatenated
+                bmask, tmask = enc_mask
+                out, tap_state = unet.apply(
+                    {'params': params['unet']}, model_in, t, ctx, bmask,
+                    added, tmask, mutable=['taps', 'attn_store'])
+            elif is_pixart:
                 out, tap_state = unet.apply(
                     {'params': params['unet']}, model_in, t, ctx, enc_mask,
                     mutable=['taps', 'attn_store'])
@@ -1427,6 +1523,8 @@ class FeatureExtractor:
             return out
 
         def finish(params, latents):
+            if is_flux:
+                latents = unpack_latents(latents, lat, lat)
             if vae is not None and not spec.is_pixel_space:
                 images = vae.apply(
                     {'params': params['vae']},
@@ -1439,9 +1537,13 @@ class FeatureExtractor:
         def init_latents(rng, bsz):
             latents = jax.random.normal(
                 rng, (bsz, lat_ch, lat, lat), self.dtype)
-            return latents * jnp.asarray(
+            latents = latents * jnp.asarray(
                 getattr(state0, 'init_noise_sigma', None)
                 or sched.init_noise_sigma, self.dtype)
+            # flux denoises in the 2x2-packed token representation
+            # (FluxPipeline._pack_latents); the scheduler update is
+            # elementwise so packing commutes with it
+            return pack_latents(latents) if is_flux else latents
 
         def run_scan(params, pe, ne, pooled, neg_pooled, rng, enc_mask=None):
             bsz = pe.shape[0]

@@ -43,6 +43,7 @@ class FlowMatchState:
 
 class FlowMatchEulerDiscreteScheduler:
     order = 1
+    init_noise_sigma = 1.0  # pure noise at sigma_max = 1 (rectified flow)
 
     def __init__(self, config: FlowMatchConfig = FlowMatchConfig()):
         self.config = config
@@ -90,3 +91,23 @@ class FlowMatchEulerDiscreteScheduler:
         sigma, sigma_next = float(state.sigmas[i]), float(state.sigmas[i + 1])
         prev = sample + jnp.asarray(sigma_next - sigma, sample.dtype) * model_output
         return prev, state
+
+    # ------- lax.scan support (facade._get_sample_fn generation loop) -------
+    # The Euler rectified-flow update is position-indexed only: each step
+    # needs just (timestep, sigma_next - sigma), so the whole denoise loop
+    # rides one scan body like the diffusion-family schedulers
+    # (schedulers/diffusion.py scan_plan protocol).
+
+    def scan_plan(self, state: FlowMatchState, timesteps=None) -> dict:
+        ts = np.asarray(state.timesteps if timesteps is None else timesteps,
+                        np.float32)
+        n = len(ts)
+        sig = np.asarray(state.sigmas, np.float32)
+        return {'timestep': ts, 'dsigma': sig[1:n + 1] - sig[:n]}
+
+    def scan_step(self, row, model_output, sample, noise=None, extra=None):
+        prev = sample + row['dsigma'].astype(sample.dtype) * model_output
+        return prev, None
+
+    def scan_carry_init(self, latents):
+        return None

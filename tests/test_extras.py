@@ -275,6 +275,45 @@ class TestScanSampler:
         assert len(f_scan['vit-block0-out']) == 5
         self._assert_match(im_scan, f_scan, im_unroll, f_unroll)
 
+    def test_flowmatch_flux_scan_matches_unrolled(self):
+        # rectified-flow Euler scans (schedulers/flow_match.py scan_plan);
+        # flux is guidance-distilled so there is no CFG double-batch and
+        # guidance_scale rides the guidance embedding.  The reference's
+        # patched flux pipeline cannot generate at all (early return,
+        # overlay pipeline_flux_img2img.py:841) — sample() here follows
+        # stock FluxPipeline semantics.
+        fe = FeatureExtractor(layer={'vit-block0-out': True},
+                              version='test-flux', img_size=32,
+                              dtype='float32')
+        fe._rng = jax.random.PRNGKey(3)
+        im_s, f_s = fe.sample('a flux scan test', batch_size=1,
+                              num_inference_steps=4, guidance_scale=3.5)
+        fe._rng = jax.random.PRNGKey(3)
+        im_u, f_u = fe.sample('a flux scan test', batch_size=1,
+                              num_inference_steps=4, guidance_scale=3.5,
+                              unrolled=True)
+        assert len(f_s['vit-block0-out']) == 4
+        assert f_s['vit-block0-out'][0].shape[0] == 1  # no CFG doubling
+        self._assert_match(im_s, f_s, im_u, f_u)
+
+    def test_ddpm_hunyuan_scan_matches_unrolled(self):
+        # dual-stream (BERT+T5) CFG conditioning with masks; the model's
+        # learned-sigma output halves are dropped before the DDPM step
+        # (stock HunyuanDiTPipeline semantics — the reference's patched
+        # pipeline early-returns, overlay pipeline_hunyuandit.py:1080)
+        fe = FeatureExtractor(layer={'vit-block0-self-q': True},
+                              version='test-hunyuan', img_size=32,
+                              dtype='float32')
+        fe._rng = jax.random.PRNGKey(4)
+        im_s, f_s = fe.sample('a hunyuan scan test', batch_size=1,
+                              num_inference_steps=3, guidance_scale=5.0)
+        fe._rng = jax.random.PRNGKey(4)
+        im_u, f_u = fe.sample('a hunyuan scan test', batch_size=1,
+                              num_inference_steps=3, guidance_scale=5.0,
+                              unrolled=True)
+        assert f_s['vit-block0-self-q'][0].shape[0] == 2  # CFG doubled
+        self._assert_match(im_s, f_s, im_u, f_u)
+
     def test_scan_sampler_bf16_dtypes(self):
         """Production dtype regression (code-review r3): a float32
         coefficient multiplying outside the .astype(sample.dtype) cast
