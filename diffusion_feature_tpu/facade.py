@@ -156,9 +156,18 @@ class FeatureExtractor:
         """
         from .taps import is_filtered_id
         known = set(self.show_all_layers())
-        pseudo = {'attn'}          # assembled by the facade (:492-500)
-        if self.spec.vae is not None:
-            pseudo.add('vae-out')  # diffusion_feature.py:477-485
+        pseudo = set()
+        if self.attention:
+            # 'attn' is assembled by _collect_feats only when attention
+            # categories were requested (:492-500); accepting it otherwise
+            # would recreate the silent-missing-feature failure this check
+            # exists to prevent
+            pseudo.add('attn')
+        if (self.spec.vae is not None
+                and self.spec.family not in ('flux', 'hunyuan')):
+            pseudo.add('vae-out')  # diffusion_feature.py:477-485; the
+            # pipeline-driven flux/hunyuan paths return straight from the
+            # tap store (reference :236-254) and never assemble it
         unknown = [i for i in sorted(self.taps.ids)
                    if i not in known and i not in pseudo
                    and not is_filtered_id(i)]
@@ -167,13 +176,23 @@ class FeatureExtractor:
         import difflib
         lines = []
         for i in unknown[:10]:
+            if i == 'attn':
+                lines.append("  'attn' needs the attention= argument (e.g. "
+                             "attention=['up_cross']) so there are "
+                             'aggregated maps to assemble')
+                continue
+            if i == 'vae-out' and self.spec.family in ('flux', 'hunyuan'):
+                lines.append("  'vae-out' is unavailable for the "
+                             f'pipeline-driven {self.spec.family} path '
+                             '(one denoiser forward, no decode step)')
+                continue
             near = difflib.get_close_matches(i, known, n=3, cutoff=0.55)
             hint = f" (did you mean: {', '.join(near)}?)" if near else ''
             lines.append(f'  {i!r}{hint}')
         more = ('' if len(unknown) <= 10
                 else f'\n  ... and {len(unknown) - 10} more')
         raise ValueError(
-            f'{len(unknown)} unknown layer id(s) for version '
+            f'{len(unknown)} unknown/unavailable layer id(s) for version '
             f'{self.version!r} at img_size={self.img_size}:\n'
             + '\n'.join(lines) + more
             + '\nUse show_all_layers() / --show_all_layers for the full list,'
@@ -531,7 +550,16 @@ class FeatureExtractor:
         ne, neg_pooled = self._encode_one(negative)
         return pe, ne, pooled, neg_pooled
 
+    def _require_text_params(self):
+        if not self.params.get('text'):
+            raise ValueError(
+                'the text encoders were offloaded persistently '
+                '(offload_prompt_encoder(persistent=True)); pass '
+                'pre-encoded prompts, or rebuild the extractor to encode '
+                'raw strings')
+
     def _encode_t5(self, text: str):
+        self._require_text_params()
         tok = self.tokenizers[0]
         ids, mask = tok([text])
         ids = jnp.asarray(ids, jnp.int32)
@@ -542,6 +570,7 @@ class FeatureExtractor:
 
     def _encode_flux(self, text: str):
         """Returns (t5_prompt_embeds, None, clip_pooled, None)."""
+        self._require_text_params()
         clip_tok, t5_tok = self.tokenizers
         ids = jnp.asarray(clip_tok([text]), jnp.int32)
         _, pooled, _ = self.text_encoders[0].apply(
@@ -557,6 +586,7 @@ class FeatureExtractor:
         pipeline feeds the transformer.  NOTE: this deliberately diverges
         from the other families' flat 4-tuple encode contract because the
         two streams travel together through ``_extract_hunyuan``."""
+        self._require_text_params()
         bert_tok, t5_tok = self.tokenizers
         ids, mask = bert_tok([text])
         ids = jnp.asarray(ids, jnp.int32)
@@ -571,6 +601,7 @@ class FeatureExtractor:
         return (bert_emb, mask), (t5_emb, t5_mask)
 
     def _encode_one(self, text: str):
+        self._require_text_params()
         spec = self.spec
         embeds, pooled = [], None
         for tok, te, params, cfg in zip(
@@ -930,6 +961,8 @@ class FeatureExtractor:
             if pred == 'v_prediction':
                 c = sigma ** 2 + 1
                 X1, X2 = 1.0 / c, float(-sigma / np.sqrt(c))
+            elif pred == 'sample':
+                X1, X2 = 0.0, 1.0
             else:
                 X1, X2 = 1.0, -sigma
             r = (sigma_next - sigma) / sigma
@@ -981,6 +1014,10 @@ class FeatureExtractor:
             if pred == 'v_prediction':
                 C2 = float(np.sqrt(1 - a_prev)) * B
                 C3 = float(np.sqrt(1 - a_prev)) * A
+            elif pred == 'sample':
+                # eps = (sample - sqrt(a_t)·x0)/sqrt(1-a_t), x0 = out
+                C2 = float(np.sqrt(1 - a_prev)) / B
+                C3 = float(-np.sqrt(1 - a_prev) * A / B)
             else:
                 C2 = 0.0
                 C3 = float(np.sqrt(1 - a_prev))
@@ -1001,7 +1038,20 @@ class FeatureExtractor:
 
         if not isinstance(sched, EulerDiscreteScheduler):
             # DDPM-family x0 algebra (Euler computed its own above)
-            X1, X2 = (A, -B) if pred == 'v_prediction' else (1.0 / A, -B / A)
+            if pred == 'sample':
+                # step() takes x0 = model_output directly (_predict_x0_eps);
+                # DDPM/DPM's C-coefficients multiply x0 so no further change,
+                # DDIM's eps-fold is handled in its branch above.  PNDM is
+                # the one family whose PLMS fold has no 'sample' form
+                # (diffusers' PNDM step_plms raises for it too)
+                if isinstance(sched, PNDMScheduler):
+                    raise NotImplementedError(
+                        "prediction_type='sample' with PNDMScheduler")
+                X1, X2 = 0.0, 1.0
+            elif pred == 'v_prediction':
+                X1, X2 = A, -B
+            else:
+                X1, X2 = 1.0 / A, -B / A
         kit = {'T': float(lt), 'A': A, 'B': B, 'S': S,
                'X1': float(X1), 'X2': float(X2),
                'C1': C1, 'C2': C2, 'C3': C3}
@@ -1021,6 +1071,16 @@ class FeatureExtractor:
         store_vae_output = self.store_vae_output
         is_pixart = spec.family == 'pixart'
         added_cond = self._added_cond
+        # mirror DDPMScheduler.step's x0 clamp (diffusion.py:199-201) so the
+        # t-generic vae-out matches sched.step exactly; the other scheduler
+        # families' step() never clamps
+        from .schedulers.diffusion import DDPMScheduler
+        x0_clamp = None
+        if isinstance(self.scheduler, DDPMScheduler):
+            if self.scheduler.config.thresholding:
+                x0_clamp = 'threshold'
+            elif self.scheduler.config.clip_sample:
+                x0_clamp = 'clip'
 
         def step(params, img, pe, pooled, enc_mask, rng, kit, *control_args):
             rng_vae, rng_noise = jax.random.split(rng)
@@ -1061,6 +1121,10 @@ class FeatureExtractor:
                 # (diffusion_feature.py:477-485)
                 x0 = (kit['X1'].astype(dt) * latents
                       + kit['X2'].astype(dt) * out)
+                if x0_clamp == 'threshold':
+                    x0 = self.scheduler._threshold(x0)
+                elif x0_clamp == 'clip':
+                    x0 = jnp.clip(x0, -1.0, 1.0)
                 lat2 = (kit['C1'].astype(dt) * x0
                         + kit['C2'].astype(dt) * latents
                         + kit['C3'].astype(dt) * out)

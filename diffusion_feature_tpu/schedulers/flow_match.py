@@ -103,7 +103,12 @@ class FlowMatchEulerDiscreteScheduler:
                         np.float32)
         n = len(ts)
         sig = np.asarray(state.sigmas, np.float32)
-        return {'timestep': ts, 'dsigma': sig[1:n + 1] - sig[:n]}
+        # a consecutive trailing subset (the scan-plan protocol's contract,
+        # schedulers/diffusion.py) must pick the deltas at ITS position in
+        # the ladder, exactly as step()'s per-timestep index lookup would
+        start = 0 if timesteps is None else self._index(state, float(ts[0]))
+        return {'timestep': ts,
+                'dsigma': sig[start + 1:start + n + 1] - sig[start:start + n]}
 
     def scan_step(self, row, model_output, sample, noise=None, extra=None):
         prev = sample + row['dsigma'].astype(sample.dtype) * model_output

@@ -120,9 +120,15 @@ def main(argv=None):
         mesh = make_mesh(dp=args.dp, tp=args.tp, sp=args.sp,
                          devices=jax.devices()[:n])
         if args.batch_size % args.dp != 0:
-            print(f'warning: --batch_size {args.batch_size} does not divide '
-                  f'--dp {args.dp}; batches will run replicated (no dp '
-                  'speedup)', file=sys.stderr)
+            # round up so every batch dp-shards: the trailing-batch
+            # pad-and-slice below already handles surplus slots, so this
+            # only ever changes how the same images are grouped — running
+            # replicated instead would silently forfeit the dp speedup
+            new_bs = -(-args.batch_size // args.dp) * args.dp
+            print(f'note: --batch_size {args.batch_size} does not divide '
+                  f'--dp {args.dp}; rounding up to {new_bs} so batches '
+                  'shard over dp', file=sys.stderr)
+            args.batch_size = new_bs
 
     df = FeatureExtractor(
         resolve_layer_config(args.layer),

@@ -249,6 +249,31 @@ class TestFlowMatch:
         sigma = state.sigmas[1000 - 50]
         np.testing.assert_allclose(np.asarray(noisy)[0, 0, 0], sigma, rtol=1e-5)
 
+    def test_scan_plan_trailing_subset_aligns_with_step(self):
+        """A scan_plan over a trailing subset of the ladder (the facade's
+        denoising_from walk) must pick each row's Δσ at ITS ladder position,
+        exactly as step()'s per-timestep index lookup would — not restart
+        from position 0."""
+        from diffusion_feature_tpu.schedulers import (
+            FlowMatchEulerDiscreteScheduler, FlowMatchConfig,
+        )
+        sched = FlowMatchEulerDiscreteScheduler(FlowMatchConfig())
+        state = sched.set_timesteps(10, mu=1.0)
+        subset = state.timesteps[4:]
+        plan = sched.scan_plan(state, timesteps=subset)
+        assert len(plan['timestep']) == len(subset)
+
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(1, 16, 4), jnp.float32)
+        out = jnp.asarray(rng.randn(1, 16, 4), jnp.float32)
+        x_step, x_scan = x, x
+        for i, ts in enumerate(subset):
+            x_step, _ = sched.step(state, out, float(ts), x_step)
+            row = {k: jnp.asarray(v[i]) for k, v in plan.items()}
+            x_scan, _ = sched.scan_step(row, out, x_scan)
+        np.testing.assert_allclose(np.asarray(x_scan), np.asarray(x_step),
+                                   rtol=1e-6, atol=1e-6)
+
 
 class TestCheckpointConfigAdaptation:
     def test_spec_adapts_to_local_config_json(self, tmp_path):
@@ -456,3 +481,88 @@ class TestDenoisingFrom:
         feats = fe.extract(prompts, 1, img, t=50, denoising_from=300)
         arr = np.asarray(feats['vit-block0-out'], np.float32)
         assert np.isfinite(arr).all()
+
+
+class TestImg2ImgKitStepParity:
+    """facade._img2img_kit folds ONE fresh-state scheduler step into scalar
+    coefficients for the t-generic program's vae-out decode
+    (facade._get_step_fn_generic).  The folded algebra — including the DDPM
+    x0 clamp mirror and prediction_type='sample' — must reproduce
+    ``sched.step`` bit-for-bit-ish for every (family, prediction_type) the
+    schedulers themselves support."""
+
+    def _kit(self, sched, t):
+        import types
+        from diffusion_feature_tpu.facade import FeatureExtractor
+        host = types.SimpleNamespace(scheduler=sched)
+        return FeatureExtractor._img2img_kit(host, t)
+
+    def _assert_matches_step(self, sched, t=250):
+        kit = self._kit(sched, t)
+        state = sched.set_timesteps(1000)
+        timesteps, _ = sched.get_timesteps(state, 1000, t / 1000)
+        lt = timesteps[0]
+        rng = np.random.RandomState(0)
+        # amplitude 3 so clip_sample/thresholding actually bite
+        x = jnp.asarray(rng.randn(2, 4, 8, 8) * 3, jnp.float32)
+        out = jnp.asarray(rng.randn(2, 4, 8, 8) * 3, jnp.float32)
+
+        # replicate the generic step's vae-out algebra exactly
+        x0 = kit['X1'] * x + kit['X2'] * out
+        if isinstance(sched, DDPMScheduler):
+            if sched.config.thresholding:
+                x0 = sched._threshold(x0)
+            elif sched.config.clip_sample:
+                x0 = jnp.clip(x0, -1.0, 1.0)
+        lat2 = kit['C1'] * x0 + kit['C2'] * x + kit['C3'] * out
+
+        want, _ = sched.step(state, out, lt, x)
+        np.testing.assert_allclose(np.asarray(lat2), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+    @pytest.mark.parametrize('pred', ['epsilon', 'v_prediction', 'sample'])
+    def test_ddpm(self, pred):
+        self._assert_matches_step(
+            DDPMScheduler(SchedulerConfig(prediction_type=pred)))
+
+    def test_ddpm_clip_sample(self):
+        self._assert_matches_step(
+            DDPMScheduler(SchedulerConfig(clip_sample=True)))
+
+    def test_ddpm_thresholding(self):
+        # IF's checkpoint config: dynamic thresholding at 0.95 / 1.5
+        self._assert_matches_step(
+            DDPMScheduler(SchedulerConfig(
+                thresholding=True, dynamic_thresholding_ratio=0.95,
+                sample_max_value=1.5)))
+
+    def test_ddpm_sample_with_clip(self):
+        self._assert_matches_step(
+            DDPMScheduler(SchedulerConfig(prediction_type='sample',
+                                          clip_sample=True)))
+
+    @pytest.mark.parametrize('pred', ['epsilon', 'v_prediction', 'sample'])
+    def test_ddim(self, pred):
+        self._assert_matches_step(
+            DDIMScheduler(SchedulerConfig(prediction_type=pred)))
+
+    @pytest.mark.parametrize('pred', ['epsilon', 'v_prediction', 'sample'])
+    def test_euler(self, pred):
+        self._assert_matches_step(
+            EulerDiscreteScheduler(SchedulerConfig(prediction_type=pred)))
+
+    @pytest.mark.parametrize('pred', ['epsilon', 'v_prediction', 'sample'])
+    def test_dpmsolver(self, pred):
+        self._assert_matches_step(
+            DPMSolverMultistepScheduler(SchedulerConfig(prediction_type=pred)))
+
+    @pytest.mark.parametrize('pred', ['epsilon', 'v_prediction'])
+    def test_pndm(self, pred):
+        self._assert_matches_step(
+            PNDMScheduler(SchedulerConfig(prediction_type=pred)))
+
+    def test_pndm_sample_raises(self):
+        # PLMS has no 'sample' fold (diffusers' step_plms raises too)
+        with pytest.raises(NotImplementedError):
+            self._kit(PNDMScheduler(
+                SchedulerConfig(prediction_type='sample')), 250)

@@ -79,9 +79,30 @@ class TestExtractCLI:
         arr = np.load(files[0])
         assert arr.ndim == 3 and np.isfinite(arr).all()
 
+    def test_dp_indivisible_batch_rounds_up(self, tmp_path, capsys):
+        # --batch_size 3 with --dp 2 rounds up to 4 (the trailing-batch
+        # pad-and-slice absorbs the surplus slot) instead of silently
+        # falling back to replicated execution
+        paths = _write_images(tmp_path / 'in', 3)
+        out = tmp_path / 'out'
+        extract_feature.main([
+            '--layer', LAYER_JSON, '--version', 'test-sd',
+            '--dtype', 'float32', '--img_size', '64', '--batch_size', '3',
+            '--dp', '2',
+            '--input_dir', str(tmp_path / 'in' / '*.png'),
+            '--prompt', 'a photo', '--output_dir', str(out),
+            '--use_original_filename',
+        ])
+        assert 'rounding up to 4' in capsys.readouterr().err
+        files = sorted((out / LAYER).glob('*.npy'))
+        assert [f.name for f in files] == ['img0.npy', 'img1.npy',
+                                           'img2.npy']
+        for f in files:
+            assert np.isfinite(np.load(f)).all()
+
     def test_unknown_layer_id_raises(self, tmp_path):
         _write_images(tmp_path / 'in', 1)
-        with pytest.raises(ValueError, match='unknown layer id'):
+        with pytest.raises(ValueError, match='unknown/unavailable layer id'):
             extract_feature.main([
                 '--layer', '{"up-level1-repeat0-res-oot": true}',
                 '--version', 'test-sd', '--dtype', 'float32',

@@ -123,6 +123,22 @@ class TestLayerValidation:
             dtype='float32', validate_layers=False)
         assert 'no-such-layer' in fe.taps.ids
 
+    def test_attn_without_attention_arg_raises(self):
+        # 'attn' is only assembled when attention categories are requested;
+        # accepting it otherwise silently yields a missing feature
+        with pytest.raises(ValueError) as ei:
+            FeatureExtractor(layer={'attn': True}, version='test-sd',
+                             img_size=64, dtype='float32')
+        assert 'attention=' in str(ei.value)
+
+    def test_vae_out_on_flux_raises(self):
+        # flux's pipeline-driven path returns straight from the tap store
+        # (reference :236-254) — there is no decode step to assemble vae-out
+        with pytest.raises(ValueError) as ei:
+            FeatureExtractor(layer={'vae-out': True}, version='test-flux',
+                             img_size=64, dtype='float32')
+        assert 'pipeline-driven' in str(ei.value)
+
 
 class TestXL:
     def test_xl_extract_with_micro_conditioning(self):
@@ -150,6 +166,28 @@ class TestAttentionStorePseudoLayer:
         attn = feats['attn']
         # resized to (img//8)² and channel-concatenated
         assert attn.shape[-2:] == (64 // 8, 64 // 8)
+
+
+class TestOffloadPromptEncoder:
+    def test_nonpersistent_offload_reencodes(self):
+        fe = FeatureExtractor(layer={'mid-vit-block0-self-q': True},
+                              version='test-sd', img_size=64,
+                              dtype='float32')
+        before = np.asarray(fe.encode_prompt('a cat')[0])
+        fe.offload_prompt_encoder()           # host round-trip, still usable
+        after = np.asarray(fe.encode_prompt('a cat')[0])
+        np.testing.assert_allclose(before, after, rtol=1e-6, atol=1e-6)
+
+    def test_persistent_offload_raises_actionable(self):
+        fe = FeatureExtractor(layer={'mid-vit-block0-self-q': True},
+                              version='test-sd', img_size=64,
+                              dtype='float32')
+        prompts = fe.encode_prompt('a cat')   # pre-encoded survives offload
+        fe.offload_prompt_encoder(persistent=True)
+        with pytest.raises(ValueError, match='offloaded persistently'):
+            fe.encode_prompt('a cat')
+        feats = fe.extract(prompts, 1, [make_image()], t=50)
+        assert 'mid-vit-block0-self-q' in feats
 
 
 class TestLongPrompt:
