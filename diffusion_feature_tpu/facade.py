@@ -129,6 +129,7 @@ class FeatureExtractor:
         self._background_feats = {}
         self._fn_cache = {}             # jitted step programs, per instance
         self._offline_lora = offline_lora
+        self._weights_root = weights
 
         self._build_models(weights, seed, external_model)
         if validate_layers and not self.taps.accept_all:
@@ -486,9 +487,73 @@ class FeatureExtractor:
                         leaves[i] = x.astype(self.dtype)
                 self.params = jax.tree.unflatten(treedef, leaves)
 
+    def _bundle_meta(self) -> dict:
+        """The configuration a deployment bundle must be re-constructed
+        under for its leaf list to match (see io/bundle.py)."""
+        dtype_name = {jnp.float32: 'float32', jnp.bfloat16: 'bfloat16',
+                      jnp.float16: 'float16'}.get(self.dtype, str(self.dtype))
+        return {
+            'version': self.version,
+            'family': self.spec.family,
+            'dtype': dtype_name,
+            'transformer_8bit': bool(getattr(self.spec.dit, 'quantize_int8',
+                                             False)
+                                     if self.spec.dit is not None else False),
+            't5_8bit': bool(getattr(getattr(self.spec, 't5', None),
+                                    'quantize_int8', False)),
+            'offline_lora': self._offline_lora,
+        }
+
+    def save_converted(self, out_dir: str) -> str:
+        """Export a self-contained TPU deployment bundle to ``out_dir``.
+
+        Writes the ALREADY CONVERTED param tree (at the serving dtype,
+        including int8 kernels + scales and any merged LoRA deltas) plus
+        copies of the source checkpoint's config.json / tokenizer /
+        controlnet dirs.  A later ``FeatureExtractor(weights=out_dir, ...)``
+        with the same configuration skips torch-format parsing, key
+        renames, transposes, and quantization entirely — the serving
+        warm-start path the reference lacks (it re-runs from_pretrained
+        every process start, models.py:10-172).
+
+        ControlNet/depth weights stay in their torch layout inside the
+        bundle (small next to the denoiser); ``control=`` loads them from
+        the bundle dir exactly as from a checkpoint dir.
+        """
+        from .io.bundle import save_bundle
+        if not self._weights_root:
+            raise ValueError(
+                'save_converted requires the extractor to have been built '
+                'from real weights (weights=<checkpoint dir>) — a '
+                'random-init tree is not a deployable artifact')
+        if not self.params.get('text'):
+            raise ValueError(
+                'the text encoders were offloaded persistently; rebuild '
+                'the extractor before exporting a bundle')
+        # 'controlnet' params are re-converted at construction from the
+        # copied controlnet_* dirs; the bundle tree covers the stack the
+        # facade itself loads (denoiser + vae + text encoders)
+        tree = {k: self.params[k] for k in ('unet', 'vae', 'text')
+                if k in self.params}
+        return save_bundle(tree, out_dir, meta=self._bundle_meta(),
+                           src_checkpoint=self._weights_root)
+
     def _load_weights(self, root: str):
         """Fill the random-init trees from a local diffusers checkpoint dir."""
         import os
+        from .io.bundle import is_bundle, load_bundle
+        if is_bundle(root):
+            if self._offline_lora:
+                raise ValueError(
+                    'offline_lora cannot be applied on top of a deployment '
+                    'bundle: bundles carry already-merged weights — merge '
+                    'the LoRA when exporting (build from the checkpoint '
+                    'with offline_lora, then save_converted)')
+            tree = {k: self.params[k] for k in ('unet', 'vae', 'text')
+                    if k in self.params}
+            loaded = load_bundle(root, tree, expect_meta=self._bundle_meta())
+            self.params.update(loaded)
+            return
         denoiser_comp = ('transformer'
                          if self.spec.family in ('pixart', 'flux', 'hunyuan')
                          else 'unet')

@@ -1,0 +1,118 @@
+"""Deployment bundles (io/bundle.py): the pre-converted param tree on disk
+round-trips exactly through save_converted -> FeatureExtractor(weights=
+<bundle>), including int8 kernels/scales, and configuration mismatches fail
+with actionable errors instead of shape garbage."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from diffusion_feature_tpu import FeatureExtractor
+
+
+def _img(seed=0, size=64):
+    return Image.fromarray(
+        (np.random.RandomState(seed).rand(size, size, 3) * 255)
+        .astype('uint8'))
+
+
+@pytest.fixture(scope='module')
+def flux_ckpt(tmp_path_factory):
+    from synth_checkpoint import write_flux_checkpoint
+    return write_flux_checkpoint(tmp_path_factory.mktemp('flux_ckpt'))
+
+
+@pytest.fixture(scope='module')
+def pixart_ckpt(tmp_path_factory):
+    from synth_checkpoint import write_pixart_checkpoint
+    return write_pixart_checkpoint(tmp_path_factory.mktemp('pixart_ckpt'))
+
+
+KW = dict(layer={'vit-block0-out': True}, version='test-flux',
+          img_size=64, dtype='float32')
+
+
+class TestBundleRoundTrip:
+    def test_flux_fp_roundtrip_exact(self, flux_ckpt, tmp_path):
+        """bf16-off path: bundle load reproduces the checkpoint load's
+        features exactly (same params, same program, same rng)."""
+        fe1 = FeatureExtractor(weights=flux_ckpt, transformer_8bit=False,
+                               t5_8bit=False, **KW)
+        f1 = np.asarray(fe1.extract('a photo', 1, [_img()], t=50)
+                        ['vit-block0-out'], np.float32)
+        bdir = fe1.save_converted(tmp_path / 'bundle')
+        assert os.path.isfile(os.path.join(bdir, 'tpu_bundle.json'))
+        # the bundle behaves like a checkpoint dir: config.jsons copied
+        assert os.path.isfile(os.path.join(bdir, 'transformer',
+                                           'config.json'))
+        fe2 = FeatureExtractor(weights=bdir, transformer_8bit=False,
+                               t5_8bit=False, **KW)
+        f2 = np.asarray(fe2.extract('a photo', 1, [_img()], t=50)
+                        ['vit-block0-out'], np.float32)
+        np.testing.assert_array_equal(f1, f2)
+
+    def test_flux_int8_roundtrip(self, flux_ckpt, tmp_path):
+        """Auto-int8 path (flux + weights): the quantized kernels and
+        per-channel scales land in the bundle as int8/f32 and load back
+        without re-quantizing."""
+        fe1 = FeatureExtractor(weights=flux_ckpt, **KW)
+        assert fe1.spec.dit.quantize_int8      # auto-on
+        f1 = np.asarray(fe1.extract('a photo', 1, [_img()], t=50)
+                        ['vit-block0-out'], np.float32)
+        bdir = fe1.save_converted(tmp_path / 'bundle8')
+        manifest = json.load(open(os.path.join(bdir, 'tpu_bundle.json')))
+        assert manifest['meta']['transformer_8bit'] is True
+        assert any(e['dtype'] == 'int8' for e in manifest['leaves'])
+        fe2 = FeatureExtractor(weights=bdir, **KW)
+        assert fe2.spec.dit.quantize_int8      # auto-on from bundle too
+        import jax
+        q_dtypes = {str(l.dtype) for l in
+                    jax.tree_util.tree_leaves(fe2.params['unet'])}
+        assert 'int8' in q_dtypes
+        f2 = np.asarray(fe2.extract('a photo', 1, [_img()], t=50)
+                        ['vit-block0-out'], np.float32)
+        np.testing.assert_array_equal(f1, f2)
+
+    def test_pixart_roundtrip_exact(self, pixart_ckpt, tmp_path):
+        kw = dict(layer={'vit-block0-out': True}, version='test-pixart',
+                  img_size=64, dtype='float32')
+        fe1 = FeatureExtractor(weights=pixart_ckpt, **kw)
+        p = fe1.encode_prompt('a photo')
+        f1 = np.asarray(fe1.extract(p, 1, [_img()], t=50)['vit-block0-out'],
+                        np.float32)
+        bdir = fe1.save_converted(tmp_path / 'bundle')
+        fe2 = FeatureExtractor(weights=bdir, **kw)
+        f2 = np.asarray(fe2.extract(fe2.encode_prompt('a photo'), 1,
+                                    [_img()], t=50)['vit-block0-out'],
+                        np.float32)
+        np.testing.assert_array_equal(f1, f2)
+
+
+class TestBundleGuards:
+    def test_int8_bundle_into_fp_template_raises_actionable(
+            self, flux_ckpt, tmp_path):
+        fe1 = FeatureExtractor(weights=flux_ckpt, **KW)   # auto int8
+        bdir = fe1.save_converted(tmp_path / 'bundle8')
+        with pytest.raises(ValueError, match='transformer_8bit'):
+            FeatureExtractor(weights=bdir, transformer_8bit=False,
+                             t5_8bit=False, **KW)
+
+    def test_lora_on_bundle_raises(self, flux_ckpt, tmp_path):
+        fe1 = FeatureExtractor(weights=flux_ckpt, **KW)
+        bdir = fe1.save_converted(tmp_path / 'bundle8')
+        with pytest.raises(ValueError, match='bundle'):
+            FeatureExtractor(weights=bdir, offline_lora='nonexistent', **KW)
+
+    def test_save_without_weights_raises(self, tmp_path):
+        fe = FeatureExtractor(**KW)
+        with pytest.raises(ValueError, match='real weights'):
+            fe.save_converted(tmp_path / 'b')
+
+    def test_save_after_persistent_offload_raises(self, flux_ckpt, tmp_path):
+        fe = FeatureExtractor(weights=flux_ckpt, **KW)
+        fe.offload_prompt_encoder(persistent=True)
+        with pytest.raises(ValueError, match='offloaded'):
+            fe.save_converted(tmp_path / 'b')
