@@ -17,9 +17,15 @@ import numpy as np
 from flax import traverse_util
 
 
-def synth_state_from_template(template_params, seed=0, scale=0.05):
+def synth_state_from_template(template_params, seed=0, scale=0.05,
+                              leaf_fn=None, dtype=np.float32):
     """Emit {torch-style key: np.ndarray} that convert_torch_state maps back
-    onto ``template_params`` exactly (random values, NOT the template's)."""
+    onto ``template_params`` exactly (random values, NOT the template's).
+
+    ``template_params`` may be an ``eval_shape`` tree (only shapes are
+    read).  ``leaf_fn(shape) -> np.ndarray`` overrides value generation —
+    the full-size timing tool uses a fast bf16 generator where RandomState
+    would take minutes for 12B params."""
     from diffusion_feature_tpu.models.convert import _normalize_key
 
     rng = np.random.RandomState(seed)
@@ -30,7 +36,10 @@ def synth_state_from_template(template_params, seed=0, scale=0.05):
         kind = path[-1]
         if kind == 'scale' and path[:-1] + ('kernel_q',) in flat:
             continue  # int8 per-channel scale: filled by on-the-fly quantize
-        arr = rng.randn(*np.shape(leaf)).astype(np.float32) * scale
+        if leaf_fn is not None:
+            arr = leaf_fn(np.shape(leaf))
+        else:
+            arr = rng.randn(*np.shape(leaf)).astype(np.float32) * scale
         if kind == 'kernel':
             arr = arr.transpose(3, 2, 0, 1) if arr.ndim == 4 else arr.T
             name = 'weight'
@@ -48,7 +57,7 @@ def synth_state_from_template(template_params, seed=0, scale=0.05):
         key = f'{base}.{name}' if base else name
         # round-trip guard: the normalized key must resolve to this path
         assert _normalize_key(base) == base, (path, base)
-        state[key] = arr
+        state[key] = arr if arr.dtype == dtype else arr.astype(dtype)
     return state
 
 
@@ -123,10 +132,12 @@ def write_pixart_checkpoint(root, *, seed=0):
     return root
 
 
-def write_flux_checkpoint(root, *, seed=0):
+def write_flux_checkpoint(root, *, seed=0, dtype=np.float32):
     """Build a complete tiny-Flux diffusers checkpoint directory:
     transformer + vae + text_encoder (CLIP) + text_encoder_2 (T5), each with
-    a config.json the facade adapts its specs from."""
+    a config.json the facade adapts its specs from.  ``dtype`` is the stored
+    tensor dtype — real Flux checkpoints ship bf16 (pass
+    ``ml_dtypes.bfloat16``)."""
     import json
     import os
 
@@ -164,7 +175,7 @@ def write_flux_checkpoint(root, *, seed=0):
         r, jnp.zeros((1, 4, fcfg.in_channels)), 500.0,
         jnp.zeros((1, 8, fcfg.joint_attention_dim)),
         jnp.zeros((1, fcfg.pooled_projection_dim)))['params']
-    save_file(synth_state_from_template(tmpl, seed=seed),
+    save_file(synth_state_from_template(tmpl, seed=seed, dtype=dtype),
               os.path.join(root, 'transformer',
                            'diffusion_pytorch_model.safetensors'))
 
@@ -181,7 +192,7 @@ def write_flux_checkpoint(root, *, seed=0):
     vae = AutoencoderKL(cfg=vcfg)
     vtmpl = vae.init(r, jnp.zeros((1, 3, 16, 16)),
                      method=AutoencoderKL.full_pass)['params']
-    save_file(synth_state_from_template(vtmpl, seed=seed + 1),
+    save_file(synth_state_from_template(vtmpl, seed=seed + 1, dtype=dtype),
               os.path.join(root, 'vae',
                            'diffusion_pytorch_model.safetensors'))
 
@@ -197,7 +208,7 @@ def write_flux_checkpoint(root, *, seed=0):
               open(os.path.join(root, 'text_encoder', 'config.json'), 'w'))
     clip = CLIPTextModel(cfg=ccfg)
     ctmpl = clip.init(r, jnp.zeros((1, 77), jnp.int32))['params']
-    save_file(synth_state_from_template(ctmpl, seed=seed + 2),
+    save_file(synth_state_from_template(ctmpl, seed=seed + 2, dtype=dtype),
               os.path.join(root, 'text_encoder', 'model.safetensors'))
 
     # T5 encoder (transformers T5Config schema)
@@ -208,6 +219,6 @@ def write_flux_checkpoint(root, *, seed=0):
               open(os.path.join(root, 'text_encoder_2', 'config.json'), 'w'))
     t5 = T5EncoderModel(cfg=tcfg)
     ttmpl = t5.init(r, jnp.zeros((1, 8), jnp.int32))['params']
-    save_file(synth_state_from_template(ttmpl, seed=seed + 3),
+    save_file(synth_state_from_template(ttmpl, seed=seed + 3, dtype=dtype),
               os.path.join(root, 'text_encoder_2', 'model.safetensors'))
     return root

@@ -164,3 +164,39 @@ class TestPixArtCheckpointLoad:
         assert images.shape == (1, 3, 64, 64)
         assert np.isfinite(np.asarray(images, np.float32)).all()
         assert len(feats['vit-block0-out']) == 3
+
+
+class TestBf16Checkpoint:
+    """Real Flux checkpoints ship bf16 tensors (HF FLUX.1-dev); the
+    conversion path must accept ml_dtypes.bfloat16 arrays from safetensors
+    — transposes, int8 quantization, serving-dtype casts — not only the
+    fp32 synth state the other fixtures emit."""
+
+    def test_bf16_flux_checkpoint_matches_fp32_within_rounding(
+            self, tmp_path):
+        import ml_dtypes
+        from synth_checkpoint import write_flux_checkpoint
+        from diffusion_feature_tpu import FeatureExtractor
+
+        img = Image.fromarray(
+            (np.random.RandomState(0).rand(64, 64, 3) * 255).astype('uint8'))
+        kw = dict(layer={'vit-block0-out': True}, version='test-flux',
+                  img_size=64, dtype='float32', transformer_8bit=False,
+                  t5_8bit=False)
+        ck32 = write_flux_checkpoint(tmp_path / 'fp32', seed=7)
+        ck16 = write_flux_checkpoint(tmp_path / 'bf16', seed=7,
+                                     dtype=ml_dtypes.bfloat16)
+        f32 = np.asarray(
+            FeatureExtractor(weights=ck32, **kw)
+            .extract('a photo', 1, [img], t=50)['vit-block0-out'],
+            np.float32).ravel()
+        f16 = np.asarray(
+            FeatureExtractor(weights=ck16, **kw)
+            .extract('a photo', 1, [img], t=50)['vit-block0-out'],
+            np.float32).ravel()
+        # same seed: the bf16 state is the fp32 state rounded to 8 mantissa
+        # bits, so features agree to weight-rounding level
+        cos = float(np.dot(f32, f16)
+                    / (np.linalg.norm(f32) * np.linalg.norm(f16) + 1e-12))
+        assert np.isfinite(f16).all()
+        assert cos > 0.99, cos
