@@ -504,6 +504,14 @@ class FeatureExtractor:
             'offline_lora': self._offline_lora,
         }
 
+    def _bundle_tree(self) -> dict:
+        """The param subtree a deployment bundle carries: the stack the
+        facade itself converts (denoiser + vae + text encoders).
+        'controlnet' params are re-converted at construction from the
+        copied controlnet_* dirs."""
+        return {k: self.params[k] for k in ('unet', 'vae', 'text')
+                if k in self.params}
+
     def save_converted(self, out_dir: str) -> str:
         """Export a self-contained TPU deployment bundle to ``out_dir``.
 
@@ -530,12 +538,8 @@ class FeatureExtractor:
             raise ValueError(
                 'the text encoders were offloaded persistently; rebuild '
                 'the extractor before exporting a bundle')
-        # 'controlnet' params are re-converted at construction from the
-        # copied controlnet_* dirs; the bundle tree covers the stack the
-        # facade itself loads (denoiser + vae + text encoders)
-        tree = {k: self.params[k] for k in ('unet', 'vae', 'text')
-                if k in self.params}
-        return save_bundle(tree, out_dir, meta=self._bundle_meta(),
+        return save_bundle(self._bundle_tree(), out_dir,
+                           meta=self._bundle_meta(),
                            src_checkpoint=self._weights_root)
 
     def _load_weights(self, root: str):
@@ -549,9 +553,8 @@ class FeatureExtractor:
                     'bundle: bundles carry already-merged weights — merge '
                     'the LoRA when exporting (build from the checkpoint '
                     'with offline_lora, then save_converted)')
-            tree = {k: self.params[k] for k in ('unet', 'vae', 'text')
-                    if k in self.params}
-            loaded = load_bundle(root, tree, expect_meta=self._bundle_meta())
+            loaded = load_bundle(root, self._bundle_tree(),
+                                 expect_meta=self._bundle_meta())
             self.params.update(loaded)
             return
         denoiser_comp = ('transformer'

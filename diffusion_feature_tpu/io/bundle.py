@@ -66,8 +66,16 @@ def save_bundle(params, out_root: str, *, meta: Dict,
     into the bundle so it is self-contained.
     """
     out_root = str(out_root)
+    if os.path.isdir(out_root) and os.listdir(out_root):
+        # a partial overwrite would silently mix artifacts: stale
+        # higher-numbered params/*.npy surviving next to a new manifest,
+        # or a previous checkpoint's tokenizer dirs (copytree below never
+        # replaces an existing tree) being served with new weights
+        raise ValueError(
+            f'bundle output dir {out_root} exists and is not empty; '
+            'delete it first')
     pdir = os.path.join(out_root, 'params')
-    os.makedirs(pdir, exist_ok=True)
+    os.makedirs(pdir)
 
     leaves_meta = []
     flat, _ = jax.tree_util.tree_flatten_with_path(params)
@@ -137,6 +145,19 @@ def load_bundle(root: str, template, *, expect_meta: Optional[Dict] = None):
                 + '\nconstruct the FeatureExtractor with the settings the '
                   'bundle was saved under')
 
+    if expect_meta and 'dtype' in expect_meta:
+        saved_d, exp_d = saved_meta.get('dtype'), expect_meta['dtype']
+        if saved_d != exp_d:
+            # leaves load AS STORED (bit-exact with the cold-start
+            # conversion that produced them); casting float leaves to a
+            # different serving dtype here would have to guess which
+            # leaves are serving-dtype weights vs intentionally-fp32 int8
+            # scales — refuse instead
+            raise ValueError(
+                f'bundle at {root} was exported at dtype={saved_d!r} but '
+                f'this extractor serves dtype={exp_d!r}; re-export the '
+                'bundle at the serving dtype' + _mismatch_hint())
+
     flat, treedef = jax.tree_util.tree_flatten_with_path(template)
     entries = manifest['leaves']
     if len(entries) != len(flat):
@@ -158,14 +179,16 @@ def load_bundle(root: str, template, *, expect_meta: Optional[Dict] = None):
             raise ValueError(
                 f'bundle leaf {ks} has shape {tuple(arr.shape)}, expected '
                 f'{tuple(tmpl.shape)}' + _mismatch_hint())
-        if arr.dtype != tmpl.dtype:
-            if not (jnp.issubdtype(arr.dtype, jnp.floating)
-                    and jnp.issubdtype(tmpl.dtype, jnp.floating)):
-                raise ValueError(
-                    f'bundle leaf {ks} has dtype {arr.dtype}, expected '
-                    f'{tmpl.dtype}' + _mismatch_hint())
-            # serving dtype may differ from export dtype: cast on load
-            leaves.append(jnp.asarray(arr, tmpl.dtype))
-        else:
-            leaves.append(jnp.asarray(arr))
+        if arr.dtype != tmpl.dtype and not (
+                jnp.issubdtype(arr.dtype, jnp.floating)
+                and jnp.issubdtype(tmpl.dtype, jnp.floating)):
+            raise ValueError(
+                f'bundle leaf {ks} has dtype {arr.dtype}, expected '
+                f'{tmpl.dtype}' + _mismatch_hint())
+        # load AS STORED: float leaves are already at the serving dtype
+        # (meta-enforced above); the eval_shape template's float leaves
+        # are fp32 (flax param_dtype default) even for bf16 serving, so
+        # tmpl.dtype must NOT be imposed here — that would silently
+        # double param memory for bf16 bundles
+        leaves.append(jnp.asarray(arr))
     return jax.tree_util.tree_unflatten(treedef, leaves)

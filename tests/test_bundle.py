@@ -76,6 +76,60 @@ class TestBundleRoundTrip:
                         ['vit-block0-out'], np.float32)
         np.testing.assert_array_equal(f1, f2)
 
+    def test_bf16_roundtrip_preserves_serving_dtype(self, flux_ckpt,
+                                                    tmp_path):
+        """bfloat16 is the facade/make_bundle default serving dtype: warm
+        start must land the SAME leaf dtypes as cold start (a cast to the
+        fp32 eval_shape template would silently double param memory) and
+        identical features."""
+        import jax
+        kw = dict(KW, dtype='bfloat16')
+        fe1 = FeatureExtractor(weights=flux_ckpt, transformer_8bit=False,
+                               t5_8bit=False, **kw)
+
+        def dtype_hist(params):
+            hist = {}
+            for leaf in jax.tree_util.tree_leaves(params):
+                hist[str(leaf.dtype)] = hist.get(str(leaf.dtype), 0) + 1
+            return hist
+
+        cold = dtype_hist(fe1.params['unet'])
+        assert set(cold) == {'bfloat16'}, cold
+        f1 = np.asarray(fe1.extract('a photo', 1, [_img()], t=50)
+                        ['vit-block0-out'], np.float32)
+        bdir = fe1.save_converted(tmp_path / 'bundle_bf16')
+        fe2 = FeatureExtractor(weights=bdir, transformer_8bit=False,
+                               t5_8bit=False, **kw)
+        assert dtype_hist(fe2.params['unet']) == cold
+        assert dtype_hist(fe2.params['text'][0]) == dtype_hist(
+            fe1.params['text'][0])
+        f2 = np.asarray(fe2.extract('a photo', 1, [_img()], t=50)
+                        ['vit-block0-out'], np.float32)
+        np.testing.assert_array_equal(f1, f2)
+
+    def test_bf16_int8_roundtrip_preserves_dtypes(self, flux_ckpt, tmp_path):
+        """Auto-int8 at bf16 serving: int8 kernels, fp32 scales, and bf16
+        leaves all survive the round trip unchanged."""
+        import jax
+        kw = dict(KW, dtype='bfloat16')
+        fe1 = FeatureExtractor(weights=flux_ckpt, **kw)
+        assert fe1.spec.dit.quantize_int8
+        cold = {}
+        for leaf in jax.tree_util.tree_leaves(fe1.params['unet']):
+            cold[str(leaf.dtype)] = cold.get(str(leaf.dtype), 0) + 1
+        assert 'int8' in cold and 'bfloat16' in cold, cold
+        bdir = fe1.save_converted(tmp_path / 'bundle_bf16_int8')
+        fe2 = FeatureExtractor(weights=bdir, **kw)
+        warm = {}
+        for leaf in jax.tree_util.tree_leaves(fe2.params['unet']):
+            warm[str(leaf.dtype)] = warm.get(str(leaf.dtype), 0) + 1
+        assert warm == cold
+        f1 = np.asarray(fe1.extract('a photo', 1, [_img()], t=50)
+                        ['vit-block0-out'], np.float32)
+        f2 = np.asarray(fe2.extract('a photo', 1, [_img()], t=50)
+                        ['vit-block0-out'], np.float32)
+        np.testing.assert_array_equal(f1, f2)
+
     def test_pixart_roundtrip_exact(self, pixart_ckpt, tmp_path):
         kw = dict(layer={'vit-block0-out': True}, version='test-pixart',
                   img_size=64, dtype='float32')
@@ -105,6 +159,25 @@ class TestBundleGuards:
         bdir = fe1.save_converted(tmp_path / 'bundle8')
         with pytest.raises(ValueError, match='bundle'):
             FeatureExtractor(weights=bdir, offline_lora='nonexistent', **KW)
+
+    def test_cross_dtype_load_raises_actionable(self, flux_ckpt, tmp_path):
+        """Bundles load as-stored; a serving-dtype mismatch must raise
+        (re-export), not silently cast."""
+        kw = dict(KW, dtype='bfloat16')
+        fe1 = FeatureExtractor(weights=flux_ckpt, transformer_8bit=False,
+                               t5_8bit=False, **kw)
+        bdir = fe1.save_converted(tmp_path / 'bundle_bf16')
+        with pytest.raises(ValueError, match='re-export'):
+            FeatureExtractor(weights=bdir, transformer_8bit=False,
+                             t5_8bit=False, **KW)   # KW serves float32
+
+    def test_save_into_nonempty_dir_raises(self, flux_ckpt, tmp_path):
+        """Overwriting an existing bundle would mix stale params/tokenizers
+        with new ones — refuse instead."""
+        fe1 = FeatureExtractor(weights=flux_ckpt, **KW)
+        bdir = fe1.save_converted(tmp_path / 'bundle8')
+        with pytest.raises(ValueError, match='not empty'):
+            fe1.save_converted(bdir)
 
     def test_save_without_weights_raises(self, tmp_path):
         fe = FeatureExtractor(**KW)

@@ -29,7 +29,10 @@ import shutil
 import sys
 import time
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+# Force CPU: the session env pins JAX_PLATFORMS=axon (TPU tunnel), which
+# would route device puts over the network and distort the host-side timing
+# this tool exists to measure.
+os.environ['JAX_PLATFORMS'] = 'cpu'
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), 'tests'))
@@ -177,6 +180,7 @@ def main(argv=None):
     cold_s = time.perf_counter() - t0
 
     print('export bundle...', file=sys.stderr)
+    shutil.rmtree(bundle, ignore_errors=True)   # save_bundle refuses non-empty
     t0 = time.perf_counter()
     fe.save_converted(bundle)
     export_s = time.perf_counter() - t0
@@ -205,7 +209,10 @@ def main(argv=None):
            'checkpoint_gib': round(_dir_gib(ckpt), 1),
            'bundle_gib': round(_dir_gib(bundle), 1)}
     if not keep:
-        shutil.rmtree(work, ignore_errors=True)
+        # remove only what this tool created: `work` may be a pre-existing
+        # directory with unrelated contents
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(bundle, ignore_errors=True)
     print(json.dumps(out))
 
 

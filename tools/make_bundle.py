@@ -33,6 +33,11 @@ def main(argv=None):
     ap.add_argument('--no_transformer_8bit', action='store_true',
                     help='keep the flux transformer bf16 (default: int8 '
                          'weight-only auto-on for flux, matching the facade)')
+    ap.add_argument('--no_t5_8bit', action='store_true',
+                    help='keep the T5 encoder full precision (default: int8 '
+                         'auto-on for flux with real weights, matching the '
+                         'facade) — a bundle only loads into an extractor '
+                         'constructed with the same t5_8bit setting')
     ap.add_argument('--offline_lora', default=None,
                     help='merge this LoRA into the exported weights')
     ap.add_argument('--offline_lora_filename', default=None)
@@ -46,6 +51,7 @@ def main(argv=None):
         offline_lora=args.offline_lora,
         offline_lora_filename=args.offline_lora_filename,
         transformer_8bit=(False if args.no_transformer_8bit else None),
+        t5_8bit=(False if args.no_t5_8bit else None),
         validate_layers=False)
     t1 = time.perf_counter()
     out = fe.save_converted(args.out)
