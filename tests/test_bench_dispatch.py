@@ -1,0 +1,94 @@
+"""bench.py mode-dispatch contract.
+
+The driver records the FINAL JSON line of ``python bench.py`` as the round's
+headline number, so the xl (north-star) line must print last in every mode
+that includes it, and in 'all' mode it must also carry the secondary sweep
+values as extra fields. These tests stub the model builders and the timing
+loop — they pin the dispatch/ordering logic only (the real numbers come from
+the on-chip run; see CLAUDE.md "Current benchmark").
+"""
+
+import contextlib
+import io
+import json
+
+import pytest
+
+import bench
+
+
+@pytest.fixture
+def stubbed_bench(monkeypatch):
+    def fake_run_mode(step, args, batch, iters, metric, baseline, img_idx,
+                      report_compile=False):
+        d = {'metric': metric, 'value': 1.0, 'unit': 'img/s/chip',
+             'vs_baseline': 0.125}
+        if report_compile:
+            d['compile_s'] = 1.0
+            d['compile_cached_s'] = 0.1
+        return d
+
+    monkeypatch.setattr(bench, 'run_mode', fake_run_mode)
+    for name in ('bench_xl', 'bench_maps', 'bench_pixart', 'bench_flux',
+                 'bench_hunyuan', 'bench_if'):
+        monkeypatch.setattr(bench, name, lambda *a, **k: (None, None))
+    return bench
+
+
+def _run(monkeypatch, mode):
+    monkeypatch.setenv('BENCH_MODE', mode)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bench.main()
+    return [json.loads(l) for l in buf.getvalue().strip().splitlines()
+            if l.startswith('{')]
+
+
+XL_METRIC = 'sdxl_512_feature_extraction_throughput'
+
+
+class TestBenchDispatch:
+    def test_all_mode_headline_last_with_extras(self, stubbed_bench,
+                                                monkeypatch):
+        lines = _run(monkeypatch, 'all')
+        assert len(lines) == 4
+        assert lines[-1]['metric'] == XL_METRIC
+        # every secondary metric rides on the headline line
+        for k in ('maps_img_per_s', 'pixart_img_per_s', 'flux_int8_img_per_s'):
+            assert k in lines[-1]
+        # compile-time fields stay on the headline (VERDICT r2 item 7)
+        assert 'compile_s' in lines[-1] and 'compile_cached_s' in lines[-1]
+        secondary = {l['metric'] for l in lines[:-1]}
+        assert secondary == {
+            'sd15_512_attention_maps_extraction_throughput',
+            'pixart_sigma_512_feature_extraction_throughput',
+            'flux_dev_int8_512_feature_extraction_throughput',
+        }
+
+    def test_both_mode_headline_last(self, stubbed_bench, monkeypatch):
+        lines = _run(monkeypatch, 'both')
+        assert [l['metric'] for l in lines] == [
+            'sd15_512_attention_maps_extraction_throughput', XL_METRIC]
+        assert 'maps_img_per_s' in lines[-1]
+
+    def test_single_modes_one_line(self, stubbed_bench, monkeypatch):
+        for mode, metric in [
+            ('xl', XL_METRIC),
+            ('maps', 'sd15_512_attention_maps_extraction_throughput'),
+            ('pixart', 'pixart_sigma_512_feature_extraction_throughput'),
+            ('flux', 'flux_dev_int8_512_feature_extraction_throughput'),
+            ('hunyuan', 'hunyuan_dit_1024_feature_extraction_throughput'),
+            ('if', 'if_i_l_64_feature_extraction_throughput'),
+        ]:
+            lines = _run(monkeypatch, mode)
+            assert len(lines) == 1 and lines[0]['metric'] == metric, mode
+
+    def test_unknown_mode_raises(self, stubbed_bench, monkeypatch):
+        monkeypatch.setenv('BENCH_MODE', 'bogus')
+        with pytest.raises(ValueError):
+            bench.main()
+
+    def test_xl_img_override(self, stubbed_bench, monkeypatch):
+        monkeypatch.setenv('BENCH_IMG', '1024')
+        lines = _run(monkeypatch, 'xl')
+        assert lines[0]['metric'] == 'sdxl_1024_feature_extraction_throughput'
