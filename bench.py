@@ -495,7 +495,42 @@ def run_mode(step, args, batch, iters, metric, baseline, img_idx,
     }
 
 
+def _wait_for_backend(budget_s):
+    """Fail fast (with retries) instead of hanging when the TPU tunnel is
+    down. On this host the axon plugin pins ``jax_platforms`` at interpreter
+    start, and ``jax.devices()`` then blocks *forever* inside PJRT init if the
+    relay is unreachable — which would stall the driver's fixed
+    ``python bench.py`` invocation indefinitely. Probe device init in a
+    subprocess (killable; the in-process call is not) and retry until the
+    backend answers or the budget runs out; on exhaustion exit nonzero
+    WITHOUT printing a JSON line, so a dead tunnel can never be recorded as
+    a 0-throughput headline. Budget via BENCH_BACKEND_WAIT_S (default 30 min).
+    """
+    import subprocess
+    deadline = time.time() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            out = subprocess.run(
+                [sys.executable, '-c',
+                 'import jax; print(jax.devices()[0].platform)'],
+                capture_output=True, text=True, timeout=180)
+            if out.returncode == 0 and out.stdout.strip():
+                return out.stdout.strip()
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            print(f'bench: device backend unreachable after {attempt} '
+                  'probes; giving up (no JSON emitted)', file=sys.stderr)
+            sys.exit(1)
+        print(f'bench: device backend not ready (probe {attempt}); '
+              'retrying in 30 s', file=sys.stderr)
+        time.sleep(30)
+
+
 def main():
+    _wait_for_backend(float(os.environ.get('BENCH_BACKEND_WAIT_S', '1800')))
     import jax
 
     on_tpu = jax.devices()[0].platform == 'tpu'

@@ -28,6 +28,9 @@ def stubbed_bench(monkeypatch):
             d['compile_cached_s'] = 0.1
         return d
 
+    # the backend probe spawns a subprocess that dials the real device
+    # backend — irrelevant to (and flaky for) the dispatch contract
+    monkeypatch.setattr(bench, '_wait_for_backend', lambda budget_s: 'cpu')
     monkeypatch.setattr(bench, 'run_mode', fake_run_mode)
     for name in ('bench_xl', 'bench_maps', 'bench_pixart', 'bench_flux',
                  'bench_hunyuan', 'bench_if'):
@@ -92,3 +95,33 @@ class TestBenchDispatch:
         monkeypatch.setenv('BENCH_IMG', '1024')
         lines = _run(monkeypatch, 'xl')
         assert lines[0]['metric'] == 'sdxl_1024_feature_extraction_throughput'
+
+
+class TestBackendWatchdog:
+    """_wait_for_backend must fail fast-ish (bounded, nonzero exit, NO JSON
+    on stdout) when the device backend never answers, and return the
+    platform string when it does."""
+
+    def test_gives_up_without_json(self, monkeypatch, capsys):
+        import subprocess
+
+        def never_answers(*a, **k):
+            raise subprocess.TimeoutExpired(cmd='probe', timeout=0)
+
+        monkeypatch.setattr('subprocess.run', never_answers)
+        monkeypatch.setattr(bench.time, 'sleep', lambda s: None)
+        with pytest.raises(SystemExit) as ei:
+            bench._wait_for_backend(0.0)
+        assert ei.value.code == 1
+        out = capsys.readouterr()
+        assert '{' not in out.out          # no JSON line the driver could record
+        assert 'unreachable' in out.err
+
+    def test_returns_platform_when_up(self, monkeypatch):
+        class Out:
+            returncode = 0
+            stdout = 'tpu\n'
+            stderr = ''
+
+        monkeypatch.setattr('subprocess.run', lambda *a, **k: Out())
+        assert bench._wait_for_backend(10.0) == 'tpu'
