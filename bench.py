@@ -511,6 +511,7 @@ def _wait_for_backend(budget_s):
     attempt = 0
     while True:
         attempt += 1
+        why = ''
         try:
             out = subprocess.run(
                 [sys.executable, '-c',
@@ -518,14 +519,20 @@ def _wait_for_backend(budget_s):
                 capture_output=True, text=True, timeout=180)
             if out.returncode == 0 and out.stdout.strip():
                 return out.stdout.strip()
+            # a nonzero exit is NOT a tunnel symptom (those hang) — it's a
+            # broken jax install / bad flag; surface the traceback instead
+            # of retrying into a misdiagnosed 'unreachable'
+            why = out.stderr.strip().splitlines()[-8:]
+            why = '\nprobe stderr tail:\n' + '\n'.join(why) if why else ''
         except subprocess.TimeoutExpired:
-            pass
+            why = ' (probe timed out in device init: tunnel down?)'
         if time.time() >= deadline:
             print(f'bench: device backend unreachable after {attempt} '
-                  'probes; giving up (no JSON emitted)', file=sys.stderr)
+                  f'probes; giving up (no JSON emitted){why}',
+                  file=sys.stderr)
             sys.exit(1)
         print(f'bench: device backend not ready (probe {attempt}); '
-              'retrying in 30 s', file=sys.stderr)
+              f'retrying in 30 s{why}', file=sys.stderr)
         time.sleep(30)
 
 
@@ -559,55 +566,61 @@ def main():
                             baseline,
                             img_idx=2,   # (unet_params, vae_params, img, ...)
                             report_compile=True)
-    if mode in ('maps', 'both', 'all'):
-        step, args = bench_maps(batch)
-        r = run_mode(step, args, batch, iters,
-                     'sd15_512_attention_maps_extraction_throughput',
-                     baseline,
-                     img_idx=2)          # (unet_params, vae_params, img, ctx)
-        print(json.dumps(r))
+    # A measured headline must never be lost to a later secondary-bench
+    # crash (flux OOM, tunnel drop): the finally still prints it as the
+    # FINAL JSON line — the one the driver records — while the exception
+    # propagates to stderr/exit code.
+    try:
+        if mode in ('maps', 'both', 'all'):
+            step, args = bench_maps(batch)
+            r = run_mode(step, args, batch, iters,
+                         'sd15_512_attention_maps_extraction_throughput',
+                         baseline,
+                         img_idx=2)      # (unet_params, vae_params, img, ctx)
+            print(json.dumps(r))
+            if headline:
+                headline['maps_img_per_s'] = r['value']
+        if mode in ('pixart', 'all'):
+            step, args = bench_pixart(batch)
+            r = run_mode(step, args, batch, iters,
+                         'pixart_sigma_512_feature_extraction_throughput',
+                         baseline,
+                         img_idx=2)      # (dit_params, vae_params, img, ...)
+            print(json.dumps(r))
+            if headline:
+                headline['pixart_img_per_s'] = r['value']
+        if mode in ('flux', 'all'):
+            # 12B int8 weights (11.9 GiB) leave ~4 GiB HBM for activations
+            # on a 16-GiB v5e: batch stays small
+            flux_batch = int(os.environ.get('BENCH_BATCH_FLUX',
+                                            '4' if on_tpu else '1'))
+            step, args = bench_flux(flux_batch)
+            r = run_mode(step, args, flux_batch, iters,
+                         'flux_dev_int8_512_feature_extraction_throughput',
+                         baseline,
+                         img_idx=2)      # (unet_params, vae_params, img, ...)
+            print(json.dumps(r))
+            if headline:
+                headline['flux_int8_img_per_s'] = r['value']
+        if mode == 'hunyuan':
+            # native 1024² → 4096-token attention; 1.5B bf16 params. Batch
+            # defaults lower than xl: the 1024² VAE encode dominates HBM.
+            hy_batch = int(os.environ.get('BENCH_BATCH_HUNYUAN',
+                                          '8' if on_tpu else '1'))
+            step, args = bench_hunyuan(hy_batch)
+            print(json.dumps(run_mode(
+                step, args, hy_batch, iters,
+                'hunyuan_dit_1024_feature_extraction_throughput', baseline,
+                img_idx=2)))    # (dit_params, vae_params, img, ...)
+        if mode == 'if':
+            step, args = bench_if(batch)
+            print(json.dumps(run_mode(
+                step, args, batch, iters,
+                'if_i_l_64_feature_extraction_throughput', baseline,
+                img_idx=1)))    # (unet_params, img, ctx)
+    finally:
         if headline:
-            headline['maps_img_per_s'] = r['value']
-    if mode in ('pixart', 'all'):
-        step, args = bench_pixart(batch)
-        r = run_mode(step, args, batch, iters,
-                     'pixart_sigma_512_feature_extraction_throughput',
-                     baseline,
-                     img_idx=2)          # (dit_params, vae_params, img, ...)
-        print(json.dumps(r))
-        if headline:
-            headline['pixart_img_per_s'] = r['value']
-    if mode in ('flux', 'all'):
-        # 12B int8 weights (11.9 GiB) leave ~4 GiB HBM for activations on a
-        # 16-GiB v5e: batch stays small
-        flux_batch = int(os.environ.get('BENCH_BATCH_FLUX',
-                                        '4' if on_tpu else '1'))
-        step, args = bench_flux(flux_batch)
-        r = run_mode(step, args, flux_batch, iters,
-                     'flux_dev_int8_512_feature_extraction_throughput',
-                     baseline,
-                     img_idx=2)          # (unet_params, vae_params, img, ...)
-        print(json.dumps(r))
-        if headline:
-            headline['flux_int8_img_per_s'] = r['value']
-    if mode == 'hunyuan':
-        # native 1024² → 4096-token attention; 1.5B bf16 params. Batch
-        # defaults lower than xl: the 1024² VAE encode dominates HBM.
-        hy_batch = int(os.environ.get('BENCH_BATCH_HUNYUAN',
-                                      '8' if on_tpu else '1'))
-        step, args = bench_hunyuan(hy_batch)
-        print(json.dumps(run_mode(
-            step, args, hy_batch, iters,
-            'hunyuan_dit_1024_feature_extraction_throughput', baseline,
-            img_idx=2)))        # (dit_params, vae_params, img, ...)
-    if mode == 'if':
-        step, args = bench_if(batch)
-        print(json.dumps(run_mode(
-            step, args, batch, iters,
-            'if_i_l_64_feature_extraction_throughput', baseline,
-            img_idx=1)))        # (unet_params, img, ctx)
-    if headline:
-        print(json.dumps(headline))
+            print(json.dumps(headline))
 
 
 if __name__ == '__main__':

@@ -219,12 +219,35 @@ class FeatureExtractor:
             self.params = src.params
             return
 
+        bundle_meta = None
         if weights:
             spec = self.spec = _adapt_spec_to_checkpoint(spec, weights)
             if spec.vae is not None:
                 self.vae_scale = 2 ** (len(spec.vae.block_out_channels) - 1)
+            from .io.bundle import is_bundle, read_meta
+            if is_bundle(weights):
+                if self._offline_lora:
+                    # raise here, before the manifest-resolved int8 flags
+                    # can trip the generic int8+LoRA guard below with a
+                    # misleading suggestion
+                    raise ValueError(
+                        'offline_lora cannot be applied on top of a '
+                        'deployment bundle: bundles carry already-merged '
+                        'weights — merge the LoRA when exporting (build '
+                        'from the checkpoint with offline_lora, then '
+                        'save_converted)')
+                # a bundle records the quantization flags it was exported
+                # under; auto (None) flags resolve to those instead of the
+                # cold-start heuristics below, so e.g. a bf16 flux bundle
+                # (make_bundle --no_transformer_8bit, or LoRA-merged) loads
+                # with default constructor arguments. Explicit args still
+                # win — a true mismatch then fails with the differing meta
+                # named (load_bundle's hint).
+                bundle_meta = read_meta(weights)
         if getattr(spec, 't5', None) is not None:
             use_int8 = (self._t5_8bit if self._t5_8bit is not None
+                        else bundle_meta.get('t5_8bit', False)
+                        if bundle_meta is not None
                         else (spec.family == 'flux' and weights is not None))
             if use_int8 and weights is None:
                 raise ValueError(
@@ -243,6 +266,8 @@ class FeatureExtractor:
                       and self.mesh.shape['tp'] > 1)
             use_int8 = (self._transformer_8bit
                         if self._transformer_8bit is not None
+                        else bundle_meta.get('transformer_8bit', False)
+                        if bundle_meta is not None
                         else (weights is not None and not has_tp
                               and not self._offline_lora))
             if use_int8 and self._offline_lora:

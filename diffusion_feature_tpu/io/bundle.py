@@ -53,6 +53,16 @@ def is_bundle(root: str) -> bool:
     return os.path.isfile(os.path.join(root, MANIFEST))
 
 
+def read_meta(root: str) -> Dict:
+    """The manifest's ``meta`` dict (the configuration ``save_bundle`` ran
+    under). The facade uses it to resolve auto (None) construction flags —
+    e.g. ``transformer_8bit`` — to what the bundle actually contains, so a
+    bf16-exported flux bundle warm-starts with default arguments instead of
+    tripping the auto-int8 heuristic into a leaf-count mismatch."""
+    with open(os.path.join(str(root), MANIFEST)) as f:
+        return json.load(f).get('meta', {})
+
+
 def _keystr(path) -> str:
     return jax.tree_util.keystr(path)
 
@@ -74,7 +84,21 @@ def save_bundle(params, out_root: str, *, meta: Dict,
         raise ValueError(
             f'bundle output dir {out_root} exists and is not empty; '
             'delete it first')
-    pdir = os.path.join(out_root, 'params')
+    # all-or-nothing: build in a sibling temp dir and rename on success. A
+    # crash mid-export (disk full 10 GiB into a flux bundle) must not leave
+    # a manifest-less half-bundle at out_root that blocks retries ('not
+    # empty') and takes the torch-checkpoint load path (is_bundle False).
+    tmp_root = f'{out_root}.partial-{os.getpid()}'
+    try:
+        return _write_bundle(params, tmp_root, out_root, meta,
+                             src_checkpoint)
+    except BaseException:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise
+
+
+def _write_bundle(params, tmp_root, out_root, meta, src_checkpoint):
+    pdir = os.path.join(tmp_root, 'params')
     os.makedirs(pdir)
 
     leaves_meta = []
@@ -95,22 +119,25 @@ def save_bundle(params, out_root: str, *, meta: Dict,
         for comp in _CONFIG_COMPONENTS:
             cj = os.path.join(src_checkpoint, comp, 'config.json')
             if os.path.isfile(cj):
-                os.makedirs(os.path.join(out_root, comp), exist_ok=True)
-                shutil.copy2(cj, os.path.join(out_root, comp, 'config.json'))
+                os.makedirs(os.path.join(tmp_root, comp), exist_ok=True)
+                shutil.copy2(cj, os.path.join(tmp_root, comp, 'config.json'))
         copy_trees = list(_COPY_TREES) + sorted(
             d for d in os.listdir(src_checkpoint)
             if d.startswith('controlnet_'))
         for tree in copy_trees:
             src = os.path.join(src_checkpoint, tree)
             if os.path.isdir(src):
-                dst = os.path.join(out_root, tree)
+                dst = os.path.join(tmp_root, tree)
                 if not os.path.isdir(dst):
                     shutil.copytree(src, dst)
 
     manifest = {'format': _FORMAT, 'kind': 'diffusion_feature_tpu_bundle',
                 'meta': dict(meta), 'leaves': leaves_meta}
-    with open(os.path.join(out_root, MANIFEST), 'w') as f:
+    with open(os.path.join(tmp_root, MANIFEST), 'w') as f:
         json.dump(manifest, f, indent=1)
+    # POSIX rename replaces an existing EMPTY out_root (the non-empty case
+    # was refused up front)
+    os.rename(tmp_root, out_root)
     return out_root
 
 
@@ -175,6 +202,15 @@ def load_bundle(root: str, template, *, expect_meta: Optional[Dict] = None):
         arr = np.load(os.path.join(root, ent['file']), mmap_mode='r')
         if ent['dtype'] == 'bfloat16':
             arr = arr.view(jnp.bfloat16)
+        if (list(arr.shape) != list(ent['shape'])
+                or str(arr.dtype) != ent['dtype']):
+            # file/manifest skew — an .npy replaced or regenerated out of
+            # band; distinct from a configuration mismatch (below)
+            raise ValueError(
+                f'bundle leaf {ks}: {ent["file"]} does not match the '
+                f'manifest (file {tuple(arr.shape)}/{arr.dtype} vs manifest '
+                f'{tuple(ent["shape"])}/{ent["dtype"]}) — the bundle is '
+                'corrupt; re-export it')
         if tuple(arr.shape) != tuple(tmpl.shape):
             raise ValueError(
                 f'bundle leaf {ks} has shape {tuple(arr.shape)}, expected '

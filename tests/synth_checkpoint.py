@@ -132,14 +132,26 @@ def write_pixart_checkpoint(root, *, seed=0):
     return root
 
 
-def write_flux_checkpoint(root, *, seed=0, dtype=np.float32):
-    """Build a complete tiny-Flux diffusers checkpoint directory:
-    transformer + vae + text_encoder (CLIP) + text_encoder_2 (T5), each with
-    a config.json the facade adapts its specs from.  ``dtype`` is the stored
-    tensor dtype — real Flux checkpoints ship bf16 (pass
-    ``ml_dtypes.bfloat16``)."""
+def write_flux_checkpoint(root, *, seed=0, dtype=np.float32, cfgs=None,
+                          leaf_fn=None, progress=False):
+    """Build a complete Flux diffusers checkpoint directory: transformer +
+    vae + text_encoder (CLIP) + text_encoder_2 (T5), each with a config.json
+    the facade adapts its specs from.  ``dtype`` is the stored tensor dtype —
+    real Flux checkpoints ship bf16 (pass ``ml_dtypes.bfloat16``).
+
+    Defaults write the tiny test checkpoint.  ``cfgs`` overrides the model
+    configs — ``dict(flux=, vae=, clip=, t5=, vae_json=<extra VAE
+    config.json fields>)`` — which is how tools/bundle_timing.py writes the
+    REAL-size Flux-dev/T5-XXL/CLIP-L checkpoint through this same writer
+    (one config-schema source, not two).  Param templates come from
+    ``jax.eval_shape`` (synth only reads shapes), so no full-size tree is
+    ever materialized; ``leaf_fn``/``progress`` exist for the 12B case
+    (fast value generation, per-component stderr timing)."""
+    import gc
     import json
     import os
+    import sys
+    import time
 
     import jax
     import jax.numpy as jnp
@@ -152,13 +164,27 @@ def write_flux_checkpoint(root, *, seed=0, dtype=np.float32):
     from diffusion_feature_tpu.models.clip_text import (
         CLIPTextModel, tiny_clip_config)
 
+    cfgs = dict(cfgs or {})
     root = str(root)
     for comp in ('transformer', 'vae', 'text_encoder', 'text_encoder_2'):
         os.makedirs(os.path.join(root, comp), exist_ok=True)
     r = jax.random.PRNGKey(0)
 
+    def _save(comp, fname, tmpl_fn, comp_seed):
+        tmpl = jax.eval_shape(tmpl_fn, r)['params']
+        t0 = time.perf_counter()
+        state = synth_state_from_template(tmpl, seed=comp_seed, dtype=dtype,
+                                          leaf_fn=leaf_fn)
+        n = sum(int(np.prod(v.shape)) for v in state.values())
+        save_file(state, os.path.join(root, comp, fname))
+        del state, tmpl
+        gc.collect()
+        if progress:
+            print(f'  {comp}: {n / 1e9:.2f}B params written in '
+                  f'{time.perf_counter() - t0:.0f}s', file=sys.stderr)
+
     # transformer (diffusers FluxTransformer2DModel config schema)
-    fcfg = tiny_flux_config()
+    fcfg = cfgs.get('flux') or tiny_flux_config()
     json.dump({
         'in_channels': fcfg.in_channels,
         'num_layers': fcfg.num_layers,
@@ -171,33 +197,30 @@ def write_flux_checkpoint(root, *, seed=0, dtype=np.float32):
         'axes_dims_rope': list(fcfg.axes_dims_rope),
     }, open(os.path.join(root, 'transformer', 'config.json'), 'w'))
     model = FluxTransformer2D(cfg=fcfg, grid_hw=(2, 2), text_len=8)
-    tmpl = model.init(
-        r, jnp.zeros((1, 4, fcfg.in_channels)), 500.0,
-        jnp.zeros((1, 8, fcfg.joint_attention_dim)),
-        jnp.zeros((1, fcfg.pooled_projection_dim)))['params']
-    save_file(synth_state_from_template(tmpl, seed=seed, dtype=dtype),
-              os.path.join(root, 'transformer',
-                           'diffusion_pytorch_model.safetensors'))
+    _save('transformer', 'diffusion_pytorch_model.safetensors',
+          lambda k: model.init(
+              k, jnp.zeros((1, 4, fcfg.in_channels)), 500.0,
+              jnp.zeros((1, 8, fcfg.joint_attention_dim)),
+              jnp.zeros((1, fcfg.pooled_projection_dim))), seed)
 
-    # vae (tiny; flux-style scaling/shift factors, 4 latent channels so the
-    # 2x2 packing yields the transformer's in_channels=16)
-    vcfg = tiny_vae_config(latent_channels=4)
+    # vae (tiny default: flux-style scaling/shift factors, 4 latent channels
+    # so the 2x2 packing yields the transformer's in_channels=16)
+    vcfg = cfgs.get('vae') or tiny_vae_config(latent_channels=4)
+    vae_json = cfgs.get('vae_json') or {
+        'scaling_factor': 0.3611, 'shift_factor': 0.1159,
+        'use_quant_conv': True}
     json.dump({'in_channels': 3, 'out_channels': 3,
                'latent_channels': vcfg.latent_channels,
                'block_out_channels': list(vcfg.block_out_channels),
-               'layers_per_block': vcfg.layers_per_block,
-               'scaling_factor': 0.3611, 'shift_factor': 0.1159,
-               'use_quant_conv': True},
+               'layers_per_block': vcfg.layers_per_block, **vae_json},
               open(os.path.join(root, 'vae', 'config.json'), 'w'))
     vae = AutoencoderKL(cfg=vcfg)
-    vtmpl = vae.init(r, jnp.zeros((1, 3, 16, 16)),
-                     method=AutoencoderKL.full_pass)['params']
-    save_file(synth_state_from_template(vtmpl, seed=seed + 1, dtype=dtype),
-              os.path.join(root, 'vae',
-                           'diffusion_pytorch_model.safetensors'))
+    _save('vae', 'diffusion_pytorch_model.safetensors',
+          lambda k: vae.init(k, jnp.zeros((1, 3, 16, 16)),
+                             method=AutoencoderKL.full_pass), seed + 1)
 
     # CLIP text encoder (transformers CLIPTextConfig schema)
-    ccfg = tiny_clip_config()
+    ccfg = cfgs.get('clip') or tiny_clip_config()
     json.dump({'vocab_size': ccfg.vocab_size, 'hidden_size': ccfg.hidden_size,
                'intermediate_size': ccfg.intermediate_size,
                'num_hidden_layers': ccfg.num_hidden_layers,
@@ -207,18 +230,16 @@ def write_flux_checkpoint(root, *, seed=0, dtype=np.float32):
                'architectures': ['CLIPTextModel']},
               open(os.path.join(root, 'text_encoder', 'config.json'), 'w'))
     clip = CLIPTextModel(cfg=ccfg)
-    ctmpl = clip.init(r, jnp.zeros((1, 77), jnp.int32))['params']
-    save_file(synth_state_from_template(ctmpl, seed=seed + 2, dtype=dtype),
-              os.path.join(root, 'text_encoder', 'model.safetensors'))
+    _save('text_encoder', 'model.safetensors',
+          lambda k: clip.init(k, jnp.zeros((1, 77), jnp.int32)), seed + 2)
 
     # T5 encoder (transformers T5Config schema)
-    tcfg = tiny_t5_config()
+    tcfg = cfgs.get('t5') or tiny_t5_config()
     json.dump({'vocab_size': tcfg.vocab_size, 'd_model': tcfg.d_model,
                'd_kv': tcfg.d_kv, 'd_ff': tcfg.d_ff,
                'num_layers': tcfg.num_layers, 'num_heads': tcfg.num_heads},
               open(os.path.join(root, 'text_encoder_2', 'config.json'), 'w'))
     t5 = T5EncoderModel(cfg=tcfg)
-    ttmpl = t5.init(r, jnp.zeros((1, 8), jnp.int32))['params']
-    save_file(synth_state_from_template(ttmpl, seed=seed + 3, dtype=dtype),
-              os.path.join(root, 'text_encoder_2', 'model.safetensors'))
+    _save('text_encoder_2', 'model.safetensors',
+          lambda k: t5.init(k, jnp.zeros((1, 8), jnp.int32)), seed + 3)
     return root

@@ -12,6 +12,10 @@ from PIL import Image
 
 from diffusion_feature_tpu import FeatureExtractor
 
+# re-registers the synthetic SD checkpoint fixture (unet + vae + single
+# CLIP with a preset-diverging config) for the unet-family bundle test
+from test_checkpoint_load import checkpoint_dir  # noqa: F401
+
 
 def _img(seed=0, size=64):
     return Image.fromarray(
@@ -130,6 +134,45 @@ class TestBundleRoundTrip:
                         ['vit-block0-out'], np.float32)
         np.testing.assert_array_equal(f1, f2)
 
+    def test_fp_bundle_warm_starts_with_default_args(self, flux_ckpt,
+                                                     tmp_path):
+        """A bundle records its quantization flags in the manifest: auto
+        (None) int8 args must resolve from it, not from the flux auto-int8
+        heuristic — otherwise every bf16/fp-exported flux bundle (e.g.
+        LoRA-merged, where int8 is forced off) fails to warm-start with
+        default constructor arguments, the deployment-automation path."""
+        fe1 = FeatureExtractor(weights=flux_ckpt, transformer_8bit=False,
+                               t5_8bit=False, **KW)
+        f1 = np.asarray(fe1.extract('a photo', 1, [_img()], t=50)
+                        ['vit-block0-out'], np.float32)
+        bdir = fe1.save_converted(tmp_path / 'bundle_fp')
+        fe2 = FeatureExtractor(weights=bdir, **KW)   # no int8 args at all
+        assert fe2.spec.dit.quantize_int8 is False
+        assert not getattr(fe2.spec.t5, 'quantize_int8', False)
+        f2 = np.asarray(fe2.extract('a photo', 1, [_img()], t=50)
+                        ['vit-block0-out'], np.float32)
+        np.testing.assert_array_equal(f1, f2)
+
+    def test_sd_unet_family_roundtrip(self, checkpoint_dir, tmp_path):
+        """U-Net family bundle: the 'unet' component config.json is copied
+        (not 'transformer') and warm-start spec adaptation reads it — the
+        checkpoint's CLIP intermediate_size diverges from the test-sd
+        preset, so a missing config copy would mis-adapt."""
+        kw = dict(layer={'up-level1-repeat0-res-out': True},
+                  version='test-sd', img_size=64, dtype='float32')
+        fe1 = FeatureExtractor(weights=checkpoint_dir, **kw)
+        f1 = np.asarray(fe1.extract(fe1.encode_prompt('a photo'), 1,
+                                    [_img()], t=50)
+                        ['up-level1-repeat0-res-out'], np.float32)
+        bdir = fe1.save_converted(tmp_path / 'bundle_sd')
+        assert os.path.isfile(os.path.join(bdir, 'unet', 'config.json'))
+        fe2 = FeatureExtractor(weights=bdir, **kw)
+        assert fe2.spec.text_encoders[0].intermediate_size == 64
+        f2 = np.asarray(fe2.extract(fe2.encode_prompt('a photo'), 1,
+                                    [_img()], t=50)
+                        ['up-level1-repeat0-res-out'], np.float32)
+        np.testing.assert_array_equal(f1, f2)
+
     def test_pixart_roundtrip_exact(self, pixart_ckpt, tmp_path):
         kw = dict(layer={'vit-block0-out': True}, version='test-pixart',
                   img_size=64, dtype='float32')
@@ -178,6 +221,47 @@ class TestBundleGuards:
         bdir = fe1.save_converted(tmp_path / 'bundle8')
         with pytest.raises(ValueError, match='not empty'):
             fe1.save_converted(bdir)
+
+    def test_failed_export_leaves_nothing(self, flux_ckpt, tmp_path,
+                                          monkeypatch):
+        """save_bundle is all-or-nothing: a crash mid-export (disk full)
+        must not leave a manifest-less half-bundle that blocks retries and
+        takes the torch-checkpoint load path; the retry then succeeds."""
+        fe = FeatureExtractor(weights=flux_ckpt, transformer_8bit=False,
+                              t5_8bit=False, **KW)
+        target = tmp_path / 'bundle_atomic'
+        calls = {'n': 0}
+        real_save = np.save
+
+        def failing_save(path, arr):
+            calls['n'] += 1
+            if calls['n'] > 3:
+                raise OSError('No space left on device (simulated)')
+            return real_save(path, arr)
+
+        monkeypatch.setattr(np, 'save', failing_save)
+        with pytest.raises(OSError):
+            fe.save_converted(target)
+        monkeypatch.undo()
+        assert not os.path.exists(target)
+        assert not [d for d in os.listdir(tmp_path)
+                    if d.startswith('bundle_atomic')]
+        bdir = fe.save_converted(target)   # retry needs no manual cleanup
+        assert os.path.isfile(os.path.join(bdir, 'tpu_bundle.json'))
+
+    def test_tampered_leaf_raises_corrupt(self, flux_ckpt, tmp_path):
+        """The manifest's per-leaf shape/dtype are cross-checked against
+        the .npy actually on disk — out-of-band file replacement fails as
+        'corrupt', not as a confusing configuration mismatch."""
+        fe = FeatureExtractor(weights=flux_ckpt, transformer_8bit=False,
+                              t5_8bit=False, **KW)
+        bdir = fe.save_converted(tmp_path / 'bundle_tamper')
+        manifest = json.load(open(os.path.join(bdir, 'tpu_bundle.json')))
+        victim = os.path.join(bdir, manifest['leaves'][0]['file'])
+        np.save(victim, np.zeros((1, 2, 3), np.float64))
+        with pytest.raises(ValueError, match='corrupt'):
+            FeatureExtractor(weights=bdir, transformer_8bit=False,
+                             t5_8bit=False, **KW)
 
     def test_save_without_weights_raises(self, tmp_path):
         fe = FeatureExtractor(**KW)

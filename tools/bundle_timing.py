@@ -51,109 +51,30 @@ def _fast_bf16(gen):
 
 
 def write_fullsize_flux_checkpoint(root: str) -> str:
-    """Real-dim Flux.1-dev checkpoint with random bf16 tensors.  Templates
-    come from eval_shape (no 12B tree is ever materialized); per-component
-    dicts peak at ~24 GiB during the transformer's save_file."""
-    import jax
-    import jax.numpy as jnp
-    from safetensors.numpy import save_file
-    from synth_checkpoint import synth_state_from_template
+    """Real-dim Flux.1-dev checkpoint with random bf16 tensors, through the
+    SAME writer the tests use (tests/synth_checkpoint.write_flux_checkpoint
+    parameterized with the real configs — one config-schema source).
+    Templates come from eval_shape (no 12B tree is ever materialized);
+    per-component dicts peak at ~24 GiB during the transformer's save_file."""
+    from synth_checkpoint import write_flux_checkpoint
 
-    from diffusion_feature_tpu.models.flux import FluxTransformer2D, FLUX_DEV
-    from diffusion_feature_tpu.models.vae import AutoencoderKL, FLUX_VAE
-    from diffusion_feature_tpu.models.t5 import T5EncoderModel, T5Config
-    from diffusion_feature_tpu.models.clip_text import (
-        CLIPTextModel, CLIPTextConfig)
+    from diffusion_feature_tpu.models.flux import FLUX_DEV
+    from diffusion_feature_tpu.models.vae import FLUX_VAE
+    from diffusion_feature_tpu.models.t5 import T5Config
+    from diffusion_feature_tpu.models.clip_text import CLIPTextConfig
 
-    root = str(root)
-    for comp in ('transformer', 'vae', 'text_encoder', 'text_encoder_2'):
-        os.makedirs(os.path.join(root, comp), exist_ok=True)
-    r = jax.random.PRNGKey(0)
     gen = np.random.Generator(np.random.SFC64(0))
-    leaf_fn = _fast_bf16(gen)
-
-    fcfg = FLUX_DEV                      # 19+38 blocks, 3072 hidden, 24 heads
-    json.dump({
-        'in_channels': fcfg.in_channels,
-        'num_layers': fcfg.num_layers,
-        'num_single_layers': fcfg.num_single_layers,
-        'attention_head_dim': fcfg.attention_head_dim,
-        'num_attention_heads': fcfg.num_attention_heads,
-        'joint_attention_dim': fcfg.joint_attention_dim,
-        'pooled_projection_dim': fcfg.pooled_projection_dim,
-        'guidance_embeds': fcfg.guidance_embeds,
-        'axes_dims_rope': list(fcfg.axes_dims_rope),
-    }, open(os.path.join(root, 'transformer', 'config.json'), 'w'))
-    model = FluxTransformer2D(cfg=fcfg, grid_hw=(2, 2), text_len=8)
-    tmpl = jax.eval_shape(
-        lambda k: model.init(
-            k, jnp.zeros((1, 4, fcfg.in_channels)), 500.0,
-            jnp.zeros((1, 8, fcfg.joint_attention_dim)),
-            jnp.zeros((1, fcfg.pooled_projection_dim))),
-        r)['params']
-    t0 = time.perf_counter()
-    state = synth_state_from_template(tmpl, leaf_fn=leaf_fn,
-                                        dtype=ml_dtypes.bfloat16)
-    n_tx = sum(int(np.prod(v.shape)) for v in state.values())
-    save_file(state, os.path.join(root, 'transformer',
-                                  'diffusion_pytorch_model.safetensors'))
-    del state, tmpl
-    gc.collect()
-    print(f'  transformer: {n_tx / 1e9:.2f}B params written in '
-          f'{time.perf_counter() - t0:.0f}s', file=sys.stderr)
-
-    json.dump({'in_channels': 3, 'out_channels': 3,
-               'latent_channels': FLUX_VAE.latent_channels,
-               'block_out_channels': list(FLUX_VAE.block_out_channels),
-               'layers_per_block': FLUX_VAE.layers_per_block,
-               'scaling_factor': FLUX_VAE.scaling_factor,
-               'shift_factor': FLUX_VAE.shift_factor,
-               'use_quant_conv': False},
-              open(os.path.join(root, 'vae', 'config.json'), 'w'))
-    vae = AutoencoderKL(cfg=FLUX_VAE)
-    vtmpl = jax.eval_shape(
-        lambda k: vae.init(k, jnp.zeros((1, 3, 32, 32)),
-                           method=AutoencoderKL.full_pass), r)['params']
-    save_file(synth_state_from_template(vtmpl, leaf_fn=leaf_fn,
-                                        dtype=ml_dtypes.bfloat16),
-              os.path.join(root, 'vae',
-                           'diffusion_pytorch_model.safetensors'))
-
-    ccfg = CLIPTextConfig()              # CLIP-L defaults are the real dims
-    json.dump({'vocab_size': ccfg.vocab_size, 'hidden_size': ccfg.hidden_size,
-               'intermediate_size': ccfg.intermediate_size,
-               'num_hidden_layers': ccfg.num_hidden_layers,
-               'num_attention_heads': ccfg.num_attention_heads,
-               'max_position_embeddings': ccfg.max_position_embeddings,
-               'hidden_act': 'quick_gelu',
-               'architectures': ['CLIPTextModel']},
-              open(os.path.join(root, 'text_encoder', 'config.json'), 'w'))
-    clip = CLIPTextModel(cfg=ccfg)
-    ctmpl = jax.eval_shape(
-        lambda k: clip.init(k, jnp.zeros((1, 77), jnp.int32)), r)['params']
-    save_file(synth_state_from_template(ctmpl, leaf_fn=leaf_fn,
-                                        dtype=ml_dtypes.bfloat16),
-              os.path.join(root, 'text_encoder', 'model.safetensors'))
-
-    tcfg = T5Config()                    # T5-XXL defaults are the real dims
-    json.dump({'vocab_size': tcfg.vocab_size, 'd_model': tcfg.d_model,
-               'd_kv': tcfg.d_kv, 'd_ff': tcfg.d_ff,
-               'num_layers': tcfg.num_layers, 'num_heads': tcfg.num_heads},
-              open(os.path.join(root, 'text_encoder_2', 'config.json'), 'w'))
-    t5 = T5EncoderModel(cfg=tcfg)
-    t0 = time.perf_counter()
-    ttmpl = jax.eval_shape(
-        lambda k: t5.init(k, jnp.zeros((1, 8), jnp.int32)), r)['params']
-    state = synth_state_from_template(ttmpl, leaf_fn=leaf_fn,
-                                        dtype=ml_dtypes.bfloat16)
-    n_t5 = sum(int(np.prod(v.shape)) for v in state.values())
-    save_file(state, os.path.join(root, 'text_encoder_2',
-                                  'model.safetensors'))
-    del state, ttmpl
-    gc.collect()
-    print(f'  t5-xxl: {n_t5 / 1e9:.2f}B params written in '
-          f'{time.perf_counter() - t0:.0f}s', file=sys.stderr)
-    return root
+    return write_flux_checkpoint(
+        root, dtype=ml_dtypes.bfloat16, leaf_fn=_fast_bf16(gen),
+        progress=True,
+        cfgs=dict(
+            flux=FLUX_DEV,       # 19+38 blocks, 3072 hidden, 24 heads
+            vae=FLUX_VAE,
+            clip=CLIPTextConfig(),   # CLIP-L defaults are the real dims
+            t5=T5Config(),           # T5-XXL defaults are the real dims
+            vae_json={'scaling_factor': FLUX_VAE.scaling_factor,
+                      'shift_factor': FLUX_VAE.shift_factor,
+                      'use_quant_conv': False}))
 
 
 def main(argv=None):
@@ -166,10 +87,19 @@ def main(argv=None):
 
     ckpt = os.path.join(work, 'ckpt')
     bundle = os.path.join(work, 'bundle')
-    if not os.path.isfile(os.path.join(
-            ckpt, 'transformer', 'diffusion_pytorch_model.safetensors')):
+    # reuse only a COMPLETE checkpoint: the sentinel is written after the
+    # last component lands, so an interrupted first run (OOM-kill mid
+    # T5-XXL save is the likely failure at ~60 GiB RAM) is rewritten, not
+    # silently reused and crashed on
+    sentinel = os.path.join(ckpt, '.complete')
+    if not os.path.isfile(sentinel):
+        if os.path.isdir(ckpt):
+            print(f'removing incomplete checkpoint at {ckpt}...',
+                  file=sys.stderr)
+            shutil.rmtree(ckpt)
         print('writing full-size synthetic checkpoint...', file=sys.stderr)
         write_fullsize_flux_checkpoint(ckpt)
+        open(sentinel, 'w').close()
 
     kw = dict(layer={'vit-block0-out': True}, version='flux', img_size=512,
               dtype='bfloat16', validate_layers=False)

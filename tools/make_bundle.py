@@ -36,8 +36,10 @@ def main(argv=None):
     ap.add_argument('--no_t5_8bit', action='store_true',
                     help='keep the T5 encoder full precision (default: int8 '
                          'auto-on for flux with real weights, matching the '
-                         'facade) — a bundle only loads into an extractor '
-                         'constructed with the same t5_8bit setting')
+                         'facade) — the bundle manifest records the setting '
+                         'and warm-start resolves default (auto) flags from '
+                         'it, so only an EXPLICITLY conflicting extractor '
+                         'flag fails to load')
     ap.add_argument('--offline_lora', default=None,
                     help='merge this LoRA into the exported weights')
     ap.add_argument('--offline_lora_filename', default=None)
