@@ -504,11 +504,14 @@ def _wait_for_backend(budget_s):
     subprocess (killable; the in-process call is not) and retry until the
     backend answers or the budget runs out; on exhaustion exit nonzero
     WITHOUT printing a JSON line, so a dead tunnel can never be recorded as
-    a 0-throughput headline. Budget via BENCH_BACKEND_WAIT_S (default 30 min).
+    a 0-throughput headline. Budget via BENCH_BACKEND_WAIT_S (default 240 s
+    — shorter than the driver's own patience, so a dead tunnel ends under
+    OUR rc with a terminal reason line, not its rc=124 kill).
     """
     import subprocess
     deadline = time.time() + budget_s
     attempt = 0
+    fast_failures = 0
     while True:
         attempt += 1
         why = ''
@@ -516,15 +519,22 @@ def _wait_for_backend(budget_s):
             out = subprocess.run(
                 [sys.executable, '-c',
                  'import jax; print(jax.devices()[0].platform)'],
-                capture_output=True, text=True, timeout=180)
+                capture_output=True, text=True, timeout=90)
             if out.returncode == 0 and out.stdout.strip():
                 return out.stdout.strip()
-            # a nonzero exit is NOT a tunnel symptom (those hang) — it's a
-            # broken jax install / bad flag; surface the traceback instead
-            # of retrying into a misdiagnosed 'unreachable'
+            # a fast nonzero exit is NOT a tunnel symptom (those hang) —
+            # it's a broken jax install / bad flag that retrying cannot
+            # fix: surface the traceback and bail after 2 occurrences
             why = out.stderr.strip().splitlines()[-8:]
             why = '\nprobe stderr tail:\n' + '\n'.join(why) if why else ''
+            fast_failures += 1
+            if fast_failures >= 2:
+                print('bench: device probe exits nonzero (not a tunnel '
+                      'hang — broken jax install or bad flag); giving up '
+                      f'(no JSON emitted){why}', file=sys.stderr)
+                sys.exit(1)
         except subprocess.TimeoutExpired:
+            fast_failures = 0
             why = ' (probe timed out in device init: tunnel down?)'
         if time.time() >= deadline:
             print(f'bench: device backend unreachable after {attempt} '
@@ -537,7 +547,7 @@ def _wait_for_backend(budget_s):
 
 
 def main():
-    _wait_for_backend(float(os.environ.get('BENCH_BACKEND_WAIT_S', '1800')))
+    _wait_for_backend(float(os.environ.get('BENCH_BACKEND_WAIT_S', '240')))
     import jax
 
     on_tpu = jax.devices()[0].platform == 'tpu'

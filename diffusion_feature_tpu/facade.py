@@ -578,8 +578,15 @@ class FeatureExtractor:
                     'bundle: bundles carry already-merged weights — merge '
                     'the LoRA when exporting (build from the checkpoint '
                     'with offline_lora, then save_converted)')
+            # offline_lora stays in the SAVED manifest as provenance, but is
+            # excluded from the match check: a bundle carries already-merged
+            # weights and can only ever be loaded with offline_lora=None
+            # (raise above), so a path diff here would produce advice that
+            # is impossible to follow
+            expect = {k: v for k, v in self._bundle_meta().items()
+                      if k != 'offline_lora'}
             loaded = load_bundle(root, self._bundle_tree(),
-                                 expect_meta=self._bundle_meta())
+                                 expect_meta=expect)
             self.params.update(loaded)
             return
         denoiser_comp = ('transformer'

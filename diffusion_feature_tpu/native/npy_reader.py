@@ -62,6 +62,7 @@ class AsyncNpyReader:
         self._lib = _get_lib()
         self._pool = (self._lib.nr_create(int(n_threads))
                       if self._lib is not None else None)
+        self._paths = {}   # handle -> path, for the np.load fallback
 
     @property
     def is_native(self) -> bool:
@@ -73,6 +74,7 @@ class AsyncNpyReader:
         jid = self._lib.nr_submit(self._pool, str(path).encode())
         if jid < 0:
             raise RuntimeError(f'nr_submit failed for {path}')
+        self._paths[jid] = str(path)
         return jid
 
     def get(self, handle) -> np.ndarray:
@@ -90,7 +92,16 @@ class AsyncNpyReader:
                                ctypes.byref(fortran))
         if rc != 0:
             self._lib.nr_free(self._pool, handle)
+            # The native parser only handles simple scalar descrs; a
+            # legitimate exotic .npy (structured dtype, '<M8[ns]', ...)
+            # fails the job cleanly — np.load it here instead of erroring
+            # (see npyio.cpp parse_header).  Missing/corrupt files raise
+            # from np.load with the real reason.
+            path = self._paths.pop(handle, None)
+            if path is not None:
+                return np.load(path)
             raise IOError(f'native npy read failed (job {handle})')
+        self._paths.pop(handle, None)
         try:
             dt = np.dtype(descr.value.decode())
             shp = tuple(shape[i] for i in range(ndim.value))

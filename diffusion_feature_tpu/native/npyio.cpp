@@ -56,7 +56,7 @@ bool parse_header(const std::string& hdr, Result* r) {
     // dtype writes 'descr' as a list of field tuples; the first quoted token
     // would be a field name, so reject anything that doesn't look like
     // byte-order prefix + type char + digits and let Python fall back to
-    // np.load (get() raises IOError on this false).
+    // np.load (npy_reader.get() re-reads the remembered path on failure).
     if (descr.size() < 2) return false;
     char order = descr[0];
     if (order != '<' && order != '>' && order != '|' && order != '=')

@@ -125,3 +125,28 @@ class TestBackendWatchdog:
 
         monkeypatch.setattr('subprocess.run', lambda *a, **k: Out())
         assert bench._wait_for_backend(10.0) == 'tpu'
+
+    def test_fast_nonzero_probe_bails_immediately(self, monkeypatch, capsys):
+        """A probe that exits nonzero QUICKLY is a broken install / bad
+        flag, not a tunnel hang — retrying for the full budget cannot fix
+        it; bail after 2 probes with the traceback tail (ADVICE r3)."""
+        calls = []
+
+        class Broken:
+            returncode = 1
+            stdout = ''
+            stderr = 'Traceback ...\nRuntimeError: bad XLA flag'
+
+        def run(*a, **k):
+            calls.append(1)
+            return Broken()
+
+        monkeypatch.setattr('subprocess.run', run)
+        monkeypatch.setattr(bench.time, 'sleep', lambda s: None)
+        with pytest.raises(SystemExit) as ei:
+            bench._wait_for_backend(3600.0)   # huge budget must NOT be used
+        assert ei.value.code == 1
+        assert len(calls) == 2
+        out = capsys.readouterr()
+        assert '{' not in out.out
+        assert 'bad XLA flag' in out.err

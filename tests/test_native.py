@@ -174,19 +174,34 @@ class TestAsyncNpyReader:
         reader.close()
         assert back.shape == (0, 5) and back.dtype == np.float32
 
-    def test_structured_dtype_raises_cleanly(self, tmp_path):
+    def test_structured_dtype_falls_back_to_np_load(self, tmp_path):
         """A structured-dtype .npy ('descr' as a field list) must fail the
-        native header parse and surface as IOError, not silently mis-parse
-        the first field name as the dtype."""
+        native header parse — not silently mis-parse the first field name
+        as the dtype — and get() then np.loads the remembered path so
+        legitimate exotic dtypes still read."""
         from diffusion_feature_tpu.native import AsyncNpyReader
         arr = np.zeros(4, dtype=[('a', '<f4'), ('b', '<i2')])
+        arr['a'] = [1, 2, 3, 4]
         path = str(tmp_path / 'struct.npy')
         np.save(path, arr)
         reader = AsyncNpyReader(n_threads=1)
         if not reader.is_native:
             pytest.skip('no native toolchain')
-        with pytest.raises(IOError):
-            reader.get(reader.submit(path))
+        back = reader.get(reader.submit(path))
+        reader.close()
+        assert back.dtype == arr.dtype
+        assert np.array_equal(back['a'], arr['a'])
+
+    def test_missing_file_raises_with_reason(self, tmp_path):
+        """A nonexistent path fails the native job AND the np.load fallback;
+        the error from np.load carries the real reason (file not found),
+        not an opaque job id."""
+        from diffusion_feature_tpu.native import AsyncNpyReader
+        reader = AsyncNpyReader(n_threads=1)
+        if not reader.is_native:
+            pytest.skip('no native toolchain')
+        with pytest.raises(OSError):
+            reader.get(reader.submit(str(tmp_path / 'nope.npy')))
         reader.close()
 
     def test_read_all_byte_cap(self, tmp_path):
