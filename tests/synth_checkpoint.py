@@ -61,6 +61,81 @@ def synth_state_from_template(template_params, seed=0, scale=0.05,
     return state
 
 
+def write_sd_checkpoint(root, *, seed=0):
+    """Build a tiny SD-family diffusers checkpoint dir: unet (torch_ref
+    transcription weights under dotted diffusers keys) + vae (torch_ref
+    encoder + synthesized decoder tensors) + CLIP text encoder
+    (transformers, shapes differing from the test-sd preset to exercise
+    spec adaptation).  Shared by test_checkpoint_load and the CLI dump
+    oracle — the oracle reloads these exact tensors into the torch
+    modules, so torch.manual_seed determinism is not relied on."""
+    import json
+    import os
+    import re
+
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from flax import traverse_util
+    from safetensors.numpy import save_file
+
+    import torch_ref as tr
+    from test_golden_parity import TINY_CFG
+    from diffusion_feature_tpu.models.vae import AutoencoderKL, tiny_vae_config
+
+    root = str(root)
+    torch.manual_seed(seed)
+    for comp in ('unet', 'vae', 'text_encoder'):
+        os.makedirs(os.path.join(root, comp), exist_ok=True)
+
+    # U-Net: diffusers-format config + torch_ref weights
+    ucfg = {k: list(v) if isinstance(v, tuple) else v
+            for k, v in TINY_CFG.items()}
+    json.dump(ucfg, open(os.path.join(root, 'unet', 'config.json'), 'w'))
+    unet = tr.UNet2DConditionModel(dict(TINY_CFG))
+    save_file(tr.state_dict_numpy(unet),
+              os.path.join(root, 'unet', 'model.safetensors'))
+
+    # VAE: torch_ref encoder + synthesized decoder tensors under HF names
+    json.dump(dict(in_channels=3, out_channels=3, latent_channels=4,
+                   block_out_channels=[32, 32], layers_per_block=1,
+                   scaling_factor=0.18215),
+              open(os.path.join(root, 'vae', 'config.json'), 'w'))
+    enc = tr.AutoencoderKLEncoder(dict(in_channels=3, latent_channels=4,
+                                       block_out_channels=(32, 32),
+                                       layers_per_block=1))
+    state = tr.state_dict_numpy(enc)
+    vae = AutoencoderKL(cfg=tiny_vae_config())
+    tmpl = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 32, 32)),
+                    method=AutoencoderKL.full_pass)['params']
+    rng = np.random.RandomState(seed)
+    for path, leaf in traverse_util.flatten_dict(tmpl).items():
+        if path[0] in ('encoder', 'quant_conv'):
+            continue
+        dotted = re.sub(r'_(\d+)(_|$)', r'.\1.',
+                        '.'.join(path[:-1])).replace('..', '.').rstrip('.')
+        leafname = 'bias' if path[-1] == 'bias' else 'weight'
+        arr = rng.randn(*leaf.shape).astype(np.float32) * 0.05
+        if path[-1] == 'kernel':
+            arr = (arr.transpose(3, 2, 0, 1) if arr.ndim == 4 else arr.T)
+        state[f'{dotted}.{leafname}'] = arr
+    save_file(state, os.path.join(root, 'vae', 'model.safetensors'))
+
+    # CLIP text encoder whose shapes DIFFER from the test-sd preset
+    # (intermediate 64 vs 128) — exercises spec adaptation
+    from transformers import CLIPTextConfig, CLIPTextModel
+    ccfg = CLIPTextConfig(vocab_size=1000, hidden_size=32,
+                          intermediate_size=64, num_hidden_layers=2,
+                          num_attention_heads=2, max_position_embeddings=77,
+                          projection_dim=32)
+    cm = CLIPTextModel(ccfg).eval()
+    json.dump(ccfg.to_dict(),
+              open(os.path.join(root, 'text_encoder', 'config.json'), 'w'))
+    save_file({k: v.detach().numpy() for k, v in cm.state_dict().items()},
+              os.path.join(root, 'text_encoder', 'model.safetensors'))
+    return root
+
+
 def write_pixart_checkpoint(root, *, seed=0):
     """Build a complete tiny-PixArt diffusers checkpoint directory:
     transformer (Transformer2DModel ada_norm_single schema) + vae +

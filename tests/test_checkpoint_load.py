@@ -4,75 +4,16 @@ and weight conversion into a working extractor — the exact path real
 SD checkpoints take (VERDICT round-1 weak #4; the same fixture was driven on
 the real TPU chip)."""
 
-import json
-
 import numpy as np
 import pytest
 import jax
-import jax.numpy as jnp
 from PIL import Image
-
-import torch_ref as tr
-from test_golden_parity import TINY_CFG
 
 
 @pytest.fixture(scope='module')
 def checkpoint_dir(tmp_path_factory):
-    import re
-    import torch
-    from safetensors.numpy import save_file
-    from flax import traverse_util
-    from diffusion_feature_tpu.models.vae import AutoencoderKL, tiny_vae_config
-
-    root = tmp_path_factory.mktemp('ckpt')
-    torch.manual_seed(0)
-    for comp in ('unet', 'vae', 'text_encoder'):
-        (root / comp).mkdir()
-
-    # U-Net: diffusers-format config + torch_ref weights
-    ucfg = {k: list(v) if isinstance(v, tuple) else v
-            for k, v in TINY_CFG.items()}
-    json.dump(ucfg, open(root / 'unet' / 'config.json', 'w'))
-    unet = tr.UNet2DConditionModel(dict(TINY_CFG))
-    save_file(tr.state_dict_numpy(unet), str(root / 'unet' / 'model.safetensors'))
-
-    # VAE: torch_ref encoder + synthesized decoder tensors under HF names
-    json.dump(dict(in_channels=3, out_channels=3, latent_channels=4,
-                   block_out_channels=[32, 32], layers_per_block=1,
-                   scaling_factor=0.18215),
-              open(root / 'vae' / 'config.json', 'w'))
-    enc = tr.AutoencoderKLEncoder(dict(in_channels=3, latent_channels=4,
-                                       block_out_channels=(32, 32),
-                                       layers_per_block=1))
-    state = tr.state_dict_numpy(enc)
-    vae = AutoencoderKL(cfg=tiny_vae_config())
-    tmpl = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 32, 32)),
-                    method=AutoencoderKL.full_pass)['params']
-    rng = np.random.RandomState(0)
-    for path, leaf in traverse_util.flatten_dict(tmpl).items():
-        if path[0] in ('encoder', 'quant_conv'):
-            continue
-        dotted = re.sub(r'_(\d+)(_|$)', r'.\1.',
-                        '.'.join(path[:-1])).replace('..', '.').rstrip('.')
-        leafname = 'bias' if path[-1] == 'bias' else 'weight'
-        arr = rng.randn(*leaf.shape).astype(np.float32) * 0.05
-        if path[-1] == 'kernel':
-            arr = (arr.transpose(3, 2, 0, 1) if arr.ndim == 4 else arr.T)
-        state[f'{dotted}.{leafname}'] = arr
-    save_file(state, str(root / 'vae' / 'model.safetensors'))
-
-    # CLIP text encoder whose shapes DIFFER from the test-sd preset
-    # (intermediate 64 vs 128) — exercises spec adaptation
-    from transformers import CLIPTextConfig, CLIPTextModel
-    ccfg = CLIPTextConfig(vocab_size=1000, hidden_size=32,
-                          intermediate_size=64, num_hidden_layers=2,
-                          num_attention_heads=2, max_position_embeddings=77,
-                          projection_dim=32)
-    cm = CLIPTextModel(ccfg).eval()
-    json.dump(ccfg.to_dict(), open(root / 'text_encoder' / 'config.json', 'w'))
-    save_file({k: v.detach().numpy() for k, v in cm.state_dict().items()},
-              str(root / 'text_encoder' / 'model.safetensors'))
-    return str(root)
+    from synth_checkpoint import write_sd_checkpoint
+    return write_sd_checkpoint(tmp_path_factory.mktemp('ckpt'))
 
 
 class TestCheckpointLoad:
