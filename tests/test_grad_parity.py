@@ -263,6 +263,80 @@ class TestCorrespondenceClipGrad:
         assert e < REL_TOL, f'aggregation conv grad max-rel-err {e:.2e}'
 
 
+class TestFluxGrad:
+    """Backward parity for the MMDiT family: the modulation (AdaLayerNorm
+    -Zero), RMS-qk-norm, joint-RoPE-attention and gated-residual paths have
+    no overlap with the SD U-Net's backward graph, and flux is the family
+    train_unet-style fine-tuning would be most fragile on (the 'out' tap is
+    the NORM tensor, reference transformer_flux.py:210-211 — a wrong
+    stop_gradient there would silently zero half the tap's contribution)."""
+
+    FLUX_TAPS = ('vit-block0-out', 'vit-block0-cross-map',
+                 'vit-block1-ffn-inner')
+
+    def _build(self):
+        import torch_ref as tr_mod
+        from diffusion_feature_tpu.models.flux import (
+            FluxTransformer2D, tiny_flux_config, make_img_ids)
+        cfg = tiny_flux_config()
+        tcfg = dict(in_channels=cfg.in_channels, num_layers=cfg.num_layers,
+                    num_single_layers=cfg.num_single_layers,
+                    attention_head_dim=cfg.attention_head_dim,
+                    num_attention_heads=cfg.num_attention_heads,
+                    joint_attention_dim=cfg.joint_attention_dim,
+                    pooled_projection_dim=cfg.pooled_projection_dim)
+        text_len = 8
+        torch.manual_seed(2)
+        ref = tr.FluxTransformer2DModel(tcfg, text_len=text_len)
+        ours = FluxTransformer2D(cfg=cfg, grid_hw=(4, 4), text_len=text_len,
+                                 taps=TapSpec(ids=frozenset(self.FLUX_TAPS)))
+        rng = np.random.RandomState(80)
+        packed = rng.randn(2, 16, cfg.in_channels).astype(np.float32)
+        ctx = rng.randn(2, text_len,
+                        cfg.joint_attention_dim).astype(np.float32)
+        pooled = rng.randn(2, cfg.pooled_projection_dim).astype(np.float32)
+        template = ours.init(jax.random.PRNGKey(0), jnp.asarray(packed),
+                             500.0, jnp.asarray(ctx),
+                             jnp.asarray(pooled))['params']
+        params = convert(ref, template)
+        ids = np.concatenate([np.zeros((text_len, 3), np.float32),
+                              make_img_ids(8, 8)], axis=0)
+        cos, sin = tr_mod.flux_rope_cos_sin(ids, cfg.axes_dims_rope)
+        return ref, ours, params, packed, ctx, pooled, cos, sin
+
+    def test_param_and_ctx_grads_match_torch(self):
+        ref, ours, params, packed, ctx, pooled, cos, sin = self._build()
+
+        def loss_fn(p, c):
+            out, state = ours.apply({'params': p}, jnp.asarray(packed),
+                                    500.0, c, jnp.asarray(pooled),
+                                    mutable=['taps', 'attn_store'])
+            flat = flatten_taps(state['taps'])
+            loss = jnp.mean(out ** 2)
+            for k in self.FLUX_TAPS:
+                loss = loss + jnp.mean(flat[k] ** 2)
+            return loss
+
+        loss, (grads, g_ctx) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            params, jnp.asarray(ctx))
+
+        t_ctx = torch.tensor(ctx, requires_grad=True)
+        taps = {}
+        out = ref(torch.tensor(packed), 500.0, t_ctx, torch.tensor(pooled),
+                  cos, sin, taps=taps)
+        t_loss = (out ** 2).mean()
+        for k in self.FLUX_TAPS:
+            t_loss = t_loss + (taps[k] ** 2).mean()
+        t_loss.backward()
+
+        tl = float(t_loss.detach())
+        assert abs(float(loss) - tl) < 1e-5 * max(1.0, abs(tl))
+        e = max_rel_err(g_ctx, t_ctx.grad)
+        assert e < REL_TOL, f'flux ctx grad max-rel-err {e:.2e}'
+        ref_grads = torch_grads_to_flax(ref, params)
+        assert_grad_tree_close(grads, ref_grads, label='flux dL/dθ')
+
+
 class TestFlashVJPGrad:
     def test_flash_path_grads_match_torch(self, monkeypatch):
         """Grads THROUGH the Pallas flash kernel's custom VJP
