@@ -337,6 +337,131 @@ class TestFluxGrad:
         assert_grad_tree_close(grads, ref_grads, label='flux dL/dθ')
 
 
+class TestPixArtGrad:
+    """Backward parity for the DiT family's ada_norm_single math: ONE
+    shared AdaLN modulation feeds every block through per-block
+    scale_shift_tables, so a single timestep-embedding parameter receives
+    gradient from all blocks at once — a summation pattern absent from
+    both the U-Net and flux cases."""
+
+    PIXART_TAPS = ('vit-block0-out', 'vit-block0-self-map',
+                   'vit-block1-ffn-inner')
+
+    def test_param_and_ctx_grads_match_torch(self):
+        from diffusion_feature_tpu.models.dit_pixart import (
+            PixArtTransformer2D, tiny_pixart_config)
+        cfg = tiny_pixart_config()
+        tcfg = dict(sample_size=cfg.sample_size, patch_size=cfg.patch_size,
+                    in_channels=cfg.in_channels,
+                    out_channels=cfg.out_channels,
+                    num_layers=cfg.num_layers,
+                    num_attention_heads=cfg.num_attention_heads,
+                    attention_head_dim=cfg.attention_head_dim,
+                    caption_channels=cfg.caption_channels,
+                    interpolation_scale=cfg.interpolation_scale)
+        torch.manual_seed(1)
+        ref = tr.PixArtTransformer2DModel(tcfg)
+        ours = PixArtTransformer2D(
+            cfg=cfg, taps=TapSpec(ids=frozenset(self.PIXART_TAPS)))
+        rng = np.random.RandomState(90)
+        lat = cfg.sample_size
+        sample = rng.randn(2, cfg.in_channels, lat, lat).astype(np.float32)
+        ctx = rng.randn(2, 7, cfg.caption_channels).astype(np.float32)
+        template = ours.init(jax.random.PRNGKey(0), jnp.asarray(sample),
+                             500.0, jnp.asarray(ctx))['params']
+        params = convert(ref, template)
+
+        def loss_fn(p, c):
+            out, state = ours.apply({'params': p}, jnp.asarray(sample),
+                                    500.0, c, mutable=['taps', 'attn_store'])
+            flat = flatten_taps(state['taps'])
+            loss = jnp.mean(out ** 2)
+            for k in self.PIXART_TAPS:
+                loss = loss + jnp.mean(flat[k] ** 2)
+            return loss
+
+        loss, (grads, g_ctx) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            params, jnp.asarray(ctx))
+
+        t_ctx = torch.tensor(ctx, requires_grad=True)
+        taps = {}
+        out = ref(torch.tensor(sample), 500.0, t_ctx, taps=taps)
+        t_loss = (out ** 2).mean()
+        for k in self.PIXART_TAPS:
+            t_loss = t_loss + (taps[k] ** 2).mean()
+        t_loss.backward()
+
+        tl = float(t_loss.detach())
+        assert abs(float(loss) - tl) < 1e-5 * max(1.0, abs(tl))
+        e = max_rel_err(g_ctx, t_ctx.grad)
+        assert e < REL_TOL, f'pixart ctx grad max-rel-err {e:.2e}'
+        ref_grads = torch_grads_to_flax(ref, params)
+        assert_grad_tree_close(grads, ref_grads, label='pixart dL/dθ')
+
+
+class TestHunyuanAttentionGrad:
+    """Backward parity for Hunyuan's instrumented attention processor
+    (per-head LayerNorm qk-norm + RoPE on q always / k only for
+    self-attention, reference components/attention.py:294-401): the RoPE
+    rotation and LN-over-head-dim backward compose differently from both
+    flux's RMS-norm joint path and the SD softmax path."""
+
+    @pytest.mark.parametrize('is_cross', [False, True])
+    def test_input_and_param_grads_match(self, is_cross):
+        import torch_ref as tr_mod
+        from diffusion_feature_tpu.models.hunyuan import (
+            HunyuanAttention, tiny_hunyuan_config)
+        cfg = tiny_hunyuan_config()
+        torch.manual_seed(3)
+        ref = tr.HunyuanAttention(cfg.hidden_size, cfg.num_attention_heads,
+                                  cfg.head_dim, is_cross=is_cross)
+        ours = HunyuanAttention(cfg=cfg, is_cross=is_cross, taps=TapSpec.all(),
+                                tap_name='cross' if is_cross else 'self')
+        rng = np.random.RandomState(95)
+        x = rng.randn(2, 16, cfg.hidden_size).astype(np.float32)
+        ctx = (rng.randn(2, 7, cfg.hidden_size).astype(np.float32)
+               if is_cross else None)
+        ids = np.stack(np.meshgrid(np.arange(4), np.arange(4),
+                                   indexing='ij'), -1).reshape(-1, 2)
+        half = cfg.head_dim // 2
+        cos_t, sin_t = tr_mod.flux_rope_cos_sin(ids, (half, half))
+        cos = jnp.asarray(cos_t.numpy())
+        sin = jnp.asarray(sin_t.numpy())
+
+        args = (jnp.asarray(x),) + ((jnp.asarray(ctx),) if is_cross
+                                    else (None,))
+        template = ours.init(jax.random.PRNGKey(0), *args, cos, sin)['params']
+        params = convert(ref, template)
+
+        def loss_fn(p, x_):
+            out, state = ours.apply(
+                {'params': p}, x_,
+                jnp.asarray(ctx) if is_cross else None, cos, sin,
+                mutable=['taps', 'attn_store'])
+            flat = flatten_taps(state['taps'])
+            prefix = 'cross-' if is_cross else 'self-'
+            return jnp.mean(out ** 2) + jnp.mean(flat[f'{prefix}map'] ** 2)
+
+        loss, (grads, g_x) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            params, jnp.asarray(x))
+
+        t_x = torch.tensor(x, requires_grad=True)
+        taps = {}
+        prefix = 'cross-' if is_cross else 'self-'
+        out = ref(t_x, torch.tensor(ctx) if is_cross else None,
+                  cos_t, sin_t, taps=taps, prefix=prefix)
+        t_loss = (out ** 2).mean() + (taps[f'{prefix}map'] ** 2).mean()
+        t_loss.backward()
+
+        tl = float(t_loss.detach())
+        assert abs(float(loss) - tl) < 1e-5 * max(1.0, abs(tl))
+        e = max_rel_err(g_x, t_x.grad)
+        assert e < REL_TOL, f'hunyuan d/dx max-rel-err {e:.2e}'
+        ref_grads = torch_grads_to_flax(ref, params)
+        assert_grad_tree_close(grads, ref_grads,
+                               label=f'hunyuan attn dL/dθ cross={is_cross}')
+
+
 class TestFlashVJPGrad:
     def test_flash_path_grads_match_torch(self, monkeypatch):
         """Grads THROUGH the Pallas flash kernel's custom VJP
