@@ -516,22 +516,29 @@ def _wait_for_backend(budget_s):
         attempt += 1
         why = ''
         try:
+            # cap each probe to the remaining budget so the LAST probe
+            # cannot overrun the deadline by its own 90 s timeout — the
+            # whole point of the 240 s default is finishing under OUR rc
+            # before the driver's patience runs out
+            probe_t = min(90.0, max(10.0, deadline - time.time()))
             out = subprocess.run(
                 [sys.executable, '-c',
                  'import jax; print(jax.devices()[0].platform)'],
-                capture_output=True, text=True, timeout=90)
+                capture_output=True, text=True, timeout=probe_t)
             if out.returncode == 0 and out.stdout.strip():
                 return out.stdout.strip()
-            # a fast nonzero exit is NOT a tunnel symptom (those hang) —
-            # it's a broken jax install / bad flag that retrying cannot
-            # fix: surface the traceback and bail after 2 occurrences
+            # a fast nonzero exit is NOT a tunnel symptom (those hang).
+            # Usually it's a broken jax install / bad flag that retrying
+            # cannot fix — but a RESTARTING tunnel daemon can also refuse
+            # connections for a few seconds (fast ECONNREFUSED), so give
+            # it 3 strikes (~60 s with the sleeps) before bailing
             why = out.stderr.strip().splitlines()[-8:]
             why = '\nprobe stderr tail:\n' + '\n'.join(why) if why else ''
             fast_failures += 1
-            if fast_failures >= 2:
-                print('bench: device probe exits nonzero (not a tunnel '
-                      'hang — broken jax install or bad flag); giving up '
-                      f'(no JSON emitted){why}', file=sys.stderr)
+            if fast_failures >= 3:
+                print('bench: device probe keeps exiting nonzero (not a '
+                      'tunnel hang — broken jax install or bad flag); '
+                      f'giving up (no JSON emitted){why}', file=sys.stderr)
                 sys.exit(1)
         except subprocess.TimeoutExpired:
             fast_failures = 0

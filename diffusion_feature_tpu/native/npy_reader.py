@@ -152,6 +152,10 @@ class AsyncNpyReader:
         if self._pool is not None:
             self._lib.nr_destroy(self._pool)
             self._pool = None
+        # drop fallback paths for handles submitted but never get()'d
+        # (e.g. an abandoned read_all generator) — unbounded otherwise on
+        # a long-lived reader
+        self._paths.clear()
 
     def __del__(self):
         try:

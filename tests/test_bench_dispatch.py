@@ -146,7 +146,37 @@ class TestBackendWatchdog:
         with pytest.raises(SystemExit) as ei:
             bench._wait_for_backend(3600.0)   # huge budget must NOT be used
         assert ei.value.code == 1
-        assert len(calls) == 2
+        # 3 strikes: a restarting tunnel daemon refuses connections fast
+        # for a few seconds — don't let two transient refusals abort a
+        # round's only bench invocation
+        assert len(calls) == 3
         out = capsys.readouterr()
         assert '{' not in out.out
         assert 'bad XLA flag' in out.err
+
+    def test_last_probe_capped_to_remaining_budget(self, monkeypatch,
+                                                   capsys):
+        """The probe subprocess timeout must shrink to the remaining
+        budget: otherwise the final probe overruns the deadline by up to
+        its full 90 s and the driver kills bench at ITS timeout (rc=124,
+        no reason line) — the exact failure mode the budget exists to
+        prevent."""
+        import subprocess
+        timeouts = []
+
+        def hang(*a, timeout=None, **k):
+            timeouts.append(timeout)
+            bench.time.sleep(timeout)
+            raise subprocess.TimeoutExpired(cmd='probe', timeout=timeout)
+
+        clock = [0.0]
+        monkeypatch.setattr(bench.time, 'time', lambda: clock[0])
+        monkeypatch.setattr(bench.time, 'sleep',
+                            lambda s: clock.__setitem__(0, clock[0] + s))
+        monkeypatch.setattr('subprocess.run', hang)
+        with pytest.raises(SystemExit):
+            bench._wait_for_backend(240.0)
+        # every probe fits inside what was left of the budget (+10 s floor)
+        assert all(t <= 90.0 for t in timeouts)
+        assert clock[0] <= 240.0 + 10.0 + 30.0   # floor + one retry sleep
+        assert '{' not in capsys.readouterr().out

@@ -43,7 +43,6 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import extract_feature  # noqa: E402
 import torch_ref as tr  # noqa: E402
-from test_golden_parity import TINY_CFG  # noqa: E402
 from synth_checkpoint import write_sd_checkpoint  # noqa: E402
 
 LAYERS = ('up-level1-repeat0-res-out', 'mid-vit-block0-cross-q')
@@ -70,34 +69,42 @@ def images(tmp_path_factory):
 
 
 def _load_torch_modules(ckpt):
-    """Reload the checkpoint tensors into the torch transcriptions —
-    weight parity with what the CLI converts is by construction."""
+    """Reload the checkpoint tensors into the torch transcriptions, with
+    every model config read from the checkpoint's own config.json files —
+    weight AND config parity with what the CLI converts is by
+    construction (no literals duplicated from the fixture writer)."""
+    import json
     from safetensors.numpy import load_file
     from transformers import CLIPTextConfig, CLIPTextModel
 
-    unet = tr.UNet2DConditionModel(dict(TINY_CFG))
+    def cfg_of(comp):
+        with open(os.path.join(ckpt, comp, 'config.json')) as f:
+            return json.load(f)
+
+    ucfg = {k: tuple(v) if isinstance(v, list) else v
+            for k, v in cfg_of('unet').items()}
+    unet = tr.UNet2DConditionModel(ucfg)
     unet.load_state_dict({k: torch.tensor(v) for k, v in load_file(
         os.path.join(ckpt, 'unet', 'model.safetensors')).items()})
     unet.eval()
 
-    enc = tr.AutoencoderKLEncoder(dict(in_channels=3, latent_channels=4,
-                                       block_out_channels=(32, 32),
-                                       layers_per_block=1))
+    vcfg = cfg_of('vae')
+    enc = tr.AutoencoderKLEncoder(dict(
+        in_channels=vcfg['in_channels'],
+        latent_channels=vcfg['latent_channels'],
+        block_out_channels=tuple(vcfg['block_out_channels']),
+        layers_per_block=vcfg['layers_per_block']))
     vae_state = load_file(os.path.join(ckpt, 'vae', 'model.safetensors'))
     want = set(enc.state_dict())
     enc.load_state_dict({k: torch.tensor(v) for k, v in vae_state.items()
                          if k in want})
     enc.eval()
 
-    ccfg = CLIPTextConfig(vocab_size=1000, hidden_size=32,
-                          intermediate_size=64, num_hidden_layers=2,
-                          num_attention_heads=2, max_position_embeddings=77,
-                          projection_dim=32)
-    clip = CLIPTextModel(ccfg)
+    clip = CLIPTextModel(CLIPTextConfig(**cfg_of('text_encoder')))
     clip.load_state_dict({k: torch.tensor(v) for k, v in load_file(
         os.path.join(ckpt, 'text_encoder', 'model.safetensors')).items()})
     clip.eval()
-    return unet, enc, clip
+    return unet, enc, clip, vcfg
 
 
 @pytest.fixture(scope='module')
@@ -108,11 +115,12 @@ def oracle(ckpt, images):
     from diffusion_feature_tpu.io.images import preprocess_pil_batch
     from diffusion_feature_tpu.tokenizers.clip_bpe import load_clip_tokenizer
 
-    unet, enc, clip = _load_torch_modules(ckpt)
+    unet, enc, clip, vcfg = _load_torch_modules(ckpt)
 
     # --- prompt: builtin BPE tokenizer (no tokenizer dir in the ckpt) ->
     #     transformers CLIP last_hidden_state (test-sd: final layer)
-    tok = load_clip_tokenizer(None, vocab_size=1000, pad_with_eos=True)
+    tok = load_clip_tokenizer(None, vocab_size=clip.config.vocab_size,
+                              pad_with_eos=True)
     ids = np.asarray(tok([PROMPT]), np.int64)
     with torch.no_grad():
         pe = clip(torch.tensor(ids)).last_hidden_state.numpy()
@@ -135,7 +143,7 @@ def oracle(ckpt, images):
     mean, logvar = np.split(moments, 2, axis=1)
     std = np.exp(0.5 * np.clip(logvar, -30.0, 20.0))
     eps = np.asarray(jax.random.normal(rng_vae, mean.shape, jnp.float32))
-    z = (mean + std * eps) * 0.18215
+    z = (mean + std * eps) * vcfg['scaling_factor']
 
     # --- PNDM img2img noise injection at t=50 (independent transcription,
     #     as in test_golden_parity.TestSchedulerGolden: steps_offset=1 +
@@ -222,9 +230,11 @@ class TestCLIDumpOracle:
         # oracle aggregation: nearest-resize every layer to the max spatial
         # size (32), channel-concat (reference extract_feature.py:113-126;
         # F.interpolate defaults to nearest).  16->32 is an exact factor-2
-        # repeat.  Concat follows the CLI's feature-dict order, which may
-        # be either config order — accept the one that matches and require
-        # a full match for it.
+        # repeat.  The concat order is PINNED: the features dict comes from
+        # flatten_taps over the flax taps collection, whose keys follow the
+        # U-Net's module-path order — mid_block before up_blocks — so the
+        # mid cross-q channels come first.  A swapped order here is exactly
+        # the integration regression this test exists to catch.
         def up2(a):
             return np.repeat(np.repeat(a, 2, axis=-2), 2, axis=-1)
 
@@ -233,10 +243,7 @@ class TestCLIDumpOracle:
         for i, name in enumerate(('imgA', 'imgB')):
             got = np.asarray(np.load(out / f'{name}.npy'), np.float32)
             assert got.shape == (96, 32, 32), got.shape
-            want_a = np.concatenate([res[i], q[i]], axis=0)
-            want_b = np.concatenate([q[i], res[i]], axis=0)
-            scale = 1e-2 * np.abs(want_a).max()
-            if np.allclose(got, want_a, rtol=1e-2, atol=scale):
-                continue
-            np.testing.assert_allclose(got, want_b, rtol=1e-2, atol=scale,
-                                       err_msg=f'{name} aggregate')
+            want = np.concatenate([q[i], res[i]], axis=0)
+            np.testing.assert_allclose(
+                got, want, rtol=1e-2, atol=1e-2 * np.abs(want).max(),
+                err_msg=f'{name} aggregate (mid cross-q channels first)')
