@@ -611,6 +611,25 @@ class TestIFGolden:
         compare_taps(flat, ref_taps, atol=1e-3)
 
 
+def build_pixart_pair(taps=None):
+    """Matched (torch_ref, flax) tiny-PixArt pair — shared with
+    test_grad_parity's backward goldens."""
+    from diffusion_feature_tpu.models.dit_pixart import (
+        PixArtTransformer2D, tiny_pixart_config)
+    cfg = tiny_pixart_config()
+    tcfg = dict(sample_size=cfg.sample_size, patch_size=cfg.patch_size,
+                in_channels=cfg.in_channels, out_channels=cfg.out_channels,
+                num_layers=cfg.num_layers,
+                num_attention_heads=cfg.num_attention_heads,
+                attention_head_dim=cfg.attention_head_dim,
+                caption_channels=cfg.caption_channels,
+                interpolation_scale=cfg.interpolation_scale)
+    torch.manual_seed(1)
+    ref = tr.PixArtTransformer2DModel(tcfg)
+    ours = PixArtTransformer2D(cfg=cfg, taps=ALL if taps is None else taps)
+    return ref, ours, cfg
+
+
 class TestPixArtGolden:
     """PixArt DiT golden parity: ada_norm_single block math (per-block
     scale_shift_table, gated residuals, NO pre-cross-attn norm), AdaLN-single
@@ -619,20 +638,7 @@ class TestPixArtGolden:
     attention.py:497-594 + the PixArt pipeline transformer forward)."""
 
     def _build(self):
-        from diffusion_feature_tpu.models.dit_pixart import (
-            PixArtTransformer2D, tiny_pixart_config)
-        cfg = tiny_pixart_config()
-        tcfg = dict(sample_size=cfg.sample_size, patch_size=cfg.patch_size,
-                    in_channels=cfg.in_channels, out_channels=cfg.out_channels,
-                    num_layers=cfg.num_layers,
-                    num_attention_heads=cfg.num_attention_heads,
-                    attention_head_dim=cfg.attention_head_dim,
-                    caption_channels=cfg.caption_channels,
-                    interpolation_scale=cfg.interpolation_scale)
-        torch.manual_seed(1)
-        ref = tr.PixArtTransformer2DModel(tcfg)
-        ours = PixArtTransformer2D(cfg=cfg, taps=ALL)
-        return ref, ours, cfg
+        return build_pixart_pair()
 
     def test_full_pixart_every_tap(self):
         ref, ours, cfg = self._build()
@@ -680,6 +686,27 @@ class TestPixArtGolden:
         assert_close(out, ref_out, label='pixart masked out', atol=3e-4)
 
 
+def build_flux_pair(taps=None):
+    """Matched (torch_ref, flax) tiny-flux pair with converted-compatible
+    configs — shared by the forward goldens here and the backward goldens
+    in test_grad_parity."""
+    from diffusion_feature_tpu.models.flux import (
+        FluxTransformer2D, tiny_flux_config)
+    cfg = tiny_flux_config()
+    tcfg = dict(in_channels=cfg.in_channels, num_layers=cfg.num_layers,
+                num_single_layers=cfg.num_single_layers,
+                attention_head_dim=cfg.attention_head_dim,
+                num_attention_heads=cfg.num_attention_heads,
+                joint_attention_dim=cfg.joint_attention_dim,
+                pooled_projection_dim=cfg.pooled_projection_dim)
+    text_len = 8
+    torch.manual_seed(2)
+    ref = tr.FluxTransformer2DModel(tcfg, text_len=text_len)
+    ours = FluxTransformer2D(cfg=cfg, grid_hw=(4, 4), text_len=text_len,
+                             taps=ALL if taps is None else taps)
+    return ref, ours, cfg, text_len
+
+
 class TestFluxGolden:
     """Flux MMDiT golden parity: AdaLayerNormZero dual-stream blocks with RMS
     qk-norms + joint RoPE attention, single-stream parallel blocks, combined
@@ -689,21 +716,7 @@ class TestFluxGolden:
     blocks, :107-108)."""
 
     def _build(self):
-        from diffusion_feature_tpu.models.flux import (
-            FluxTransformer2D, tiny_flux_config)
-        cfg = tiny_flux_config()
-        tcfg = dict(in_channels=cfg.in_channels, num_layers=cfg.num_layers,
-                    num_single_layers=cfg.num_single_layers,
-                    attention_head_dim=cfg.attention_head_dim,
-                    num_attention_heads=cfg.num_attention_heads,
-                    joint_attention_dim=cfg.joint_attention_dim,
-                    pooled_projection_dim=cfg.pooled_projection_dim)
-        text_len = 8
-        torch.manual_seed(2)
-        ref = tr.FluxTransformer2DModel(tcfg, text_len=text_len)
-        ours = FluxTransformer2D(cfg=cfg, grid_hw=(4, 4), text_len=text_len,
-                                 taps=ALL)
-        return ref, ours, cfg, text_len
+        return build_flux_pair()
 
     def test_full_flux_every_tap(self):
         import torch_ref as tr_mod
@@ -826,21 +839,28 @@ class TestHunyuanFullGolden:
         compare_taps(flat, ref_taps, atol=1e-3)
 
 
+def build_hunyuan_attention_pair(is_cross, taps=None):
+    """Matched (torch_ref, flax) Hunyuan attention pair — shared with
+    test_grad_parity's backward goldens."""
+    from diffusion_feature_tpu.models.hunyuan import (
+        HunyuanAttention, tiny_hunyuan_config)
+    cfg = tiny_hunyuan_config()
+    torch.manual_seed(3)
+    ref = tr.HunyuanAttention(cfg.hidden_size, cfg.num_attention_heads,
+                              cfg.head_dim, is_cross=is_cross)
+    ours = HunyuanAttention(cfg=cfg, is_cross=is_cross,
+                            taps=ALL if taps is None else taps,
+                            tap_name='cross' if is_cross else 'self')
+    return ref, ours, cfg
+
+
 class TestHunyuanAttentionGolden:
     """The Hunyuan surface the reference instruments is its attention
     processor (components/attention.py:294-401): per-head LayerNorm qk-norm,
     RoPE on q always / k only when self-attention, explicit softmax taps."""
 
     def _build(self, is_cross):
-        from diffusion_feature_tpu.models.hunyuan import (
-            HunyuanAttention, tiny_hunyuan_config)
-        cfg = tiny_hunyuan_config()
-        torch.manual_seed(3)
-        ref = tr.HunyuanAttention(cfg.hidden_size, cfg.num_attention_heads,
-                                  cfg.head_dim, is_cross=is_cross)
-        ours = HunyuanAttention(cfg=cfg, is_cross=is_cross, taps=ALL,
-                                tap_name='cross' if is_cross else 'self')
-        return ref, ours, cfg
+        return build_hunyuan_attention_pair(is_cross)
 
     @pytest.mark.parametrize('is_cross', [False, True])
     def test_attention_with_rope(self, is_cross):

@@ -276,20 +276,10 @@ class TestFluxGrad:
 
     def _build(self):
         import torch_ref as tr_mod
-        from diffusion_feature_tpu.models.flux import (
-            FluxTransformer2D, tiny_flux_config, make_img_ids)
-        cfg = tiny_flux_config()
-        tcfg = dict(in_channels=cfg.in_channels, num_layers=cfg.num_layers,
-                    num_single_layers=cfg.num_single_layers,
-                    attention_head_dim=cfg.attention_head_dim,
-                    num_attention_heads=cfg.num_attention_heads,
-                    joint_attention_dim=cfg.joint_attention_dim,
-                    pooled_projection_dim=cfg.pooled_projection_dim)
-        text_len = 8
-        torch.manual_seed(2)
-        ref = tr.FluxTransformer2DModel(tcfg, text_len=text_len)
-        ours = FluxTransformer2D(cfg=cfg, grid_hw=(4, 4), text_len=text_len,
-                                 taps=TapSpec(ids=frozenset(self.FLUX_TAPS)))
+        from test_golden_parity import build_flux_pair
+        from diffusion_feature_tpu.models.flux import make_img_ids
+        ref, ours, cfg, text_len = build_flux_pair(
+            taps=TapSpec(ids=frozenset(self.FLUX_TAPS)))
         rng = np.random.RandomState(80)
         packed = rng.randn(2, 16, cfg.in_channels).astype(np.float32)
         ctx = rng.randn(2, text_len,
@@ -348,21 +338,9 @@ class TestPixArtGrad:
                    'vit-block1-ffn-inner')
 
     def test_param_and_ctx_grads_match_torch(self):
-        from diffusion_feature_tpu.models.dit_pixart import (
-            PixArtTransformer2D, tiny_pixart_config)
-        cfg = tiny_pixart_config()
-        tcfg = dict(sample_size=cfg.sample_size, patch_size=cfg.patch_size,
-                    in_channels=cfg.in_channels,
-                    out_channels=cfg.out_channels,
-                    num_layers=cfg.num_layers,
-                    num_attention_heads=cfg.num_attention_heads,
-                    attention_head_dim=cfg.attention_head_dim,
-                    caption_channels=cfg.caption_channels,
-                    interpolation_scale=cfg.interpolation_scale)
-        torch.manual_seed(1)
-        ref = tr.PixArtTransformer2DModel(tcfg)
-        ours = PixArtTransformer2D(
-            cfg=cfg, taps=TapSpec(ids=frozenset(self.PIXART_TAPS)))
+        from test_golden_parity import build_pixart_pair
+        ref, ours, cfg = build_pixart_pair(
+            taps=TapSpec(ids=frozenset(self.PIXART_TAPS)))
         rng = np.random.RandomState(90)
         lat = cfg.sample_size
         sample = rng.randn(2, cfg.in_channels, lat, lat).astype(np.float32)
@@ -409,14 +387,8 @@ class TestHunyuanAttentionGrad:
     @pytest.mark.parametrize('is_cross', [False, True])
     def test_input_and_param_grads_match(self, is_cross):
         import torch_ref as tr_mod
-        from diffusion_feature_tpu.models.hunyuan import (
-            HunyuanAttention, tiny_hunyuan_config)
-        cfg = tiny_hunyuan_config()
-        torch.manual_seed(3)
-        ref = tr.HunyuanAttention(cfg.hidden_size, cfg.num_attention_heads,
-                                  cfg.head_dim, is_cross=is_cross)
-        ours = HunyuanAttention(cfg=cfg, is_cross=is_cross, taps=TapSpec.all(),
-                                tap_name='cross' if is_cross else 'self')
+        from test_golden_parity import build_hunyuan_attention_pair
+        ref, ours, cfg = build_hunyuan_attention_pair(is_cross)
         rng = np.random.RandomState(95)
         x = rng.randn(2, 16, cfg.hidden_size).astype(np.float32)
         ctx = (rng.randn(2, 7, cfg.hidden_size).astype(np.float32)
