@@ -76,7 +76,8 @@ def build_parser():
                              '(e.g. Flux-12B bf16 on v5e)')
     parser.add_argument('--sp', type=int, default=1,
                         help='sequence-parallel shard the DiT token dim over '
-                             'sp devices (flux; composes with --dp/--tp)')
+                             'sp devices (all DiT families: pixart, hunyuan, '
+                             'flux; composes with --dp/--tp)')
     parser.add_argument('--transformer_8bit', type=_strict_bool,
                         default=None, metavar='{true,false}',
                         help='int8 weight-only flux transformer (fits 12B on '
