@@ -12,7 +12,8 @@ dispatch-latency/async-queue artifacts (large under the axon TPU tunnel,
 where block_until_ready does not synchronize) cannot inflate the number.
 
 Modes (BENCH_MODE env):
-  all (default)— xl + maps + pixart + flux, one JSON line each, with the
+  all (default)— xl + maps + pixart + flux + hunyuan + if, one JSON line
+                 each, with the
                  headline xl line printed LAST and carrying the secondary
                  values as extra fields (``maps_img_per_s`` etc.) — the
                  driver records the final JSON line, which must be the
@@ -31,10 +32,12 @@ Modes (BENCH_MODE env):
                  weight-only block projections (the production
                  transformer_8bit auto-on configuration) at 512².
   hunyuan      — HunyuanDiT 1.5B at its native 1024² (seq-4096 RoPE
-                 attention, dual text streams). Non-default: recorded
-                 once in PARITY.md, not re-swept every round.
-  if           — DeepFloyd IF-I-L pixel-space U-Net at 64². Non-default,
-                 same as hunyuan.
+                 attention, dual text streams). Part of the 'all' sweep
+                 since round 5 (VERDICT r4 item 1) with a reduced
+                 iteration count (BENCH_ITERS_HUNYUAN, default 5) so the
+                 marginal warm-cache cost stays ~30 s.
+  if           — DeepFloyd IF-I-L pixel-space U-Net at 64². Part of the
+                 'all' sweep since round 5; nearly free (505 img/s).
   both         — xl + maps.
 
 The xl line additionally reports ``compile_s`` / ``compile_cached_s`` —
@@ -589,6 +592,7 @@ def main():
     # propagates to stderr/exit code.
     try:
         if mode in ('maps', 'both', 'all'):
+            step = args = None   # drop the previous mode's device buffers
             step, args = bench_maps(batch)
             r = run_mode(step, args, batch, iters,
                          'sd15_512_attention_maps_extraction_throughput',
@@ -598,6 +602,7 @@ def main():
             if headline:
                 headline['maps_img_per_s'] = r['value']
         if mode in ('pixart', 'all'):
+            step = args = None   # drop the previous mode's device buffers
             step, args = bench_pixart(batch)
             r = run_mode(step, args, batch, iters,
                          'pixart_sigma_512_feature_extraction_throughput',
@@ -611,6 +616,7 @@ def main():
             # on a 16-GiB v5e: batch stays small
             flux_batch = int(os.environ.get('BENCH_BATCH_FLUX',
                                             '4' if on_tpu else '1'))
+            step = args = None   # drop the previous mode's device buffers
             step, args = bench_flux(flux_batch)
             r = run_mode(step, args, flux_batch, iters,
                          'flux_dev_int8_512_feature_extraction_throughput',
@@ -619,22 +625,35 @@ def main():
             print(json.dumps(r))
             if headline:
                 headline['flux_int8_img_per_s'] = r['value']
-        if mode == 'hunyuan':
+        if mode in ('hunyuan', 'all'):
             # native 1024² → 4096-token attention; 1.5B bf16 params. Batch
             # defaults lower than xl: the 1024² VAE encode dominates HBM.
+            # In the 'all' sweep the iteration count drops (default 5):
+            # at ~4 img/s a full 10-iter pair would cost ~80 s of the
+            # driver's budget for the same number (VERDICT r4 item 1).
             hy_batch = int(os.environ.get('BENCH_BATCH_HUNYUAN',
                                           '8' if on_tpu else '1'))
+            hy_iters = (int(os.environ.get('BENCH_ITERS_HUNYUAN',
+                                           '5' if on_tpu else '2'))
+                        if mode == 'all' else iters)
+            step = args = None   # drop the previous mode's device buffers
             step, args = bench_hunyuan(hy_batch)
-            print(json.dumps(run_mode(
-                step, args, hy_batch, iters,
-                'hunyuan_dit_1024_feature_extraction_throughput', baseline,
-                img_idx=2)))    # (dit_params, vae_params, img, ...)
-        if mode == 'if':
+            r = run_mode(step, args, hy_batch, hy_iters,
+                         'hunyuan_dit_1024_feature_extraction_throughput',
+                         baseline,
+                         img_idx=2)      # (dit_params, vae_params, img, ...)
+            print(json.dumps(r))
+            if headline:
+                headline['hunyuan_img_per_s'] = r['value']
+        if mode in ('if', 'all'):
+            step = args = None   # drop the previous mode's device buffers
             step, args = bench_if(batch)
-            print(json.dumps(run_mode(
-                step, args, batch, iters,
-                'if_i_l_64_feature_extraction_throughput', baseline,
-                img_idx=1)))    # (unet_params, img, ctx)
+            r = run_mode(step, args, batch, iters,
+                         'if_i_l_64_feature_extraction_throughput', baseline,
+                         img_idx=1)      # (unet_params, img, ctx)
+            print(json.dumps(r))
+            if headline:
+                headline['if_img_per_s'] = r['value']
     finally:
         if headline:
             print(json.dumps(headline))

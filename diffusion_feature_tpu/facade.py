@@ -64,6 +64,8 @@ class FeatureExtractor:
         train_unet: bool = False,
         external_model=None,
         weights: Optional[str] = None,
+        weights_variant: Optional[str] = None,  # pick a dtype variant set
+                                   # (e.g. 'fp16') in an ambiguous ckpt dir
         mesh=None,
         seed: int = 0,
         attn_store_sizes=None,   # override the size band (tests/tiny models)
@@ -130,6 +132,7 @@ class FeatureExtractor:
         self._fn_cache = {}             # jitted step programs, per instance
         self._offline_lora = offline_lora
         self._weights_root = weights
+        self._weights_variant = weights_variant
 
         self._build_models(weights, seed, external_model)
         if validate_layers and not self.taps.accept_all:
@@ -596,13 +599,15 @@ class FeatureExtractor:
         if self.spec.vae is not None:          # IF is pixel-space: no VAE dir
             comp_map.append(('vae', 'vae'))
         for key, comp in comp_map:
-            state = load_component_state(root, comp)
+            state = load_component_state(root, comp,
+                                         variant=self._weights_variant)
             self.params[key], _, unused = convert_torch_state(
                 state, self.params[key], dtype=self.dtype)
         from .models.convert import rename_for_text_encoder
         text_dirs = ['text_encoder', 'text_encoder_2']
         for i in range(len(self.text_encoders)):
-            state = load_component_state(root, text_dirs[i])
+            state = load_component_state(root, text_dirs[i],
+                                         variant=self._weights_variant)
             state = rename_for_text_encoder(state, self.text_encoders[i])
             self.params['text'][i], _, _ = convert_torch_state(
                 state, self.params['text'][i], dtype=self.dtype)

@@ -190,19 +190,173 @@ def rename_for_text_encoder(state: Dict[str, np.ndarray], encoder
     return state
 
 
-def load_safetensors_dir(path: str) -> Dict[str, np.ndarray]:
-    """Load all tensors from a diffusers component dir (handles sharded
-    files via the index json)."""
-    from safetensors import safe_open
+# torch typed-storage class name -> numpy dtype (BFloat16Storage needs
+# ml_dtypes, which jax already depends on)
+def _torch_storage_dtypes():
+    import ml_dtypes
+    return {
+        'FloatStorage': np.dtype(np.float32),
+        'DoubleStorage': np.dtype(np.float64),
+        'HalfStorage': np.dtype(np.float16),
+        'BFloat16Storage': np.dtype(ml_dtypes.bfloat16),
+        'LongStorage': np.dtype(np.int64),
+        'IntStorage': np.dtype(np.int32),
+        'ShortStorage': np.dtype(np.int16),
+        'CharStorage': np.dtype(np.int8),
+        'ByteStorage': np.dtype(np.uint8),
+        'BoolStorage': np.dtype(np.bool_),
+    }
 
-    files = sorted(
-        f for f in os.listdir(path)
-        if f.endswith('.safetensors')
-    )
+
+def load_torch_bin(path: str) -> Dict[str, np.ndarray]:
+    """Read a torch pickle-zip ``.bin`` checkpoint WITHOUT torch.
+
+    Older diffusers checkpoints ship only ``diffusion_pytorch_model.bin``
+    (the reference loads them through torch.load inside from_pretrained,
+    reference feature/components/models.py); this build's package runtime
+    has no torch, so the zipfile layout (``archive/data.pkl`` +
+    ``archive/data/<key>`` raw storages, torch>=1.6) is parsed with a
+    restricted ``pickle.Unpickler``: only the tensor-rebuild globals are
+    resolvable, everything else raises — arbitrary pickled code cannot
+    execute. Legacy pre-1.6 tar-format files are rejected with a clear
+    error.
+    """
+    import pickle
+    import zipfile
+
+    dtypes = _torch_storage_dtypes()
+    try:
+        zf = zipfile.ZipFile(path)
+    except zipfile.BadZipFile:
+        raise ValueError(
+            f'{path} is not a torch zipfile checkpoint (legacy pre-1.6 '
+            'torch .bin is not supported — re-save with a modern torch or '
+            'convert to safetensors)')
+    with zf:
+        pkl_names = [n for n in zf.namelist() if n.endswith('data.pkl')]
+        if not pkl_names:
+            raise ValueError(f'{path}: no data.pkl inside the zip — not a '
+                             'torch checkpoint')
+        prefix = pkl_names[0][:-len('data.pkl')]
+        storage_cache: Dict[str, np.ndarray] = {}
+
+        def read_storage(dtype: np.dtype, key: str) -> np.ndarray:
+            if key not in storage_cache:
+                storage_cache[key] = np.frombuffer(
+                    zf.read(f'{prefix}data/{key}'), dtype=dtype)
+            return storage_cache[key]
+
+        def rebuild_tensor_v2(storage, offset, size, stride,
+                              requires_grad=False, hooks=None,
+                              metadata=None):
+            dtype, key = storage
+            flat = read_storage(dtype, key)
+            itemsize = flat.dtype.itemsize
+            arr = np.lib.stride_tricks.as_strided(
+                flat[offset:], shape=tuple(size),
+                strides=tuple(s * itemsize for s in stride))
+            # .copy() (not ascontiguousarray, which promotes 0-d to 1-d)
+            return arr.copy()
+
+        class _Restricted(pickle.Unpickler):
+            def find_class(self, module, name):
+                if module == 'torch._utils':
+                    if name in ('_rebuild_tensor_v2', '_rebuild_tensor'):
+                        return rebuild_tensor_v2
+                    if name == '_rebuild_parameter':
+                        return lambda data, *a: data
+                if module == 'torch' and name in dtypes:
+                    return dtypes[name]
+                if module == 'collections' and name == 'OrderedDict':
+                    return dict
+                raise pickle.UnpicklingError(
+                    f'{path}: refusing to unpickle {module}.{name} — only '
+                    'plain tensor state_dicts are supported')
+
+            def persistent_load(self, pid):
+                # ('storage', <typed-storage dtype>, key, location, numel)
+                if not (isinstance(pid, tuple) and pid
+                        and pid[0] == 'storage'):
+                    raise pickle.UnpicklingError(
+                        f'{path}: unexpected persistent id {pid!r}')
+                return (pid[1], pid[2])
+
+        import io
+        obj = _Restricted(io.BytesIO(zf.read(pkl_names[0]))).load()
+    if isinstance(obj, dict) and 'state_dict' in obj \
+            and isinstance(obj['state_dict'], dict):
+        obj = obj['state_dict']
+    if not isinstance(obj, dict):
+        raise ValueError(f'{path}: checkpoint root is {type(obj).__name__}, '
+                         'expected a tensor state_dict')
+    return {k: v for k, v in obj.items() if isinstance(v, np.ndarray)}
+
+
+_SHARD_RE = re.compile(r'-\d{5}-of-\d{5}$')
+
+
+def _group_weight_files(files: Iterable[str], ext: str):
+    """Group weight files by (base, variant): diffusers names weights
+    ``<base>[.<variant>][-NNNNN-of-NNNNN].<ext>`` (variant e.g. 'fp16').
+    Returns {(base, variant_or_None): [files]}."""
+    groups: Dict[Tuple[str, str], list] = {}
+    for f in sorted(files):
+        stem = _SHARD_RE.sub('', f[:-len(ext) - 1])
+        base, _, variant = stem.partition('.')
+        groups.setdefault((base, variant or None), []).append(f)
+    return groups
+
+
+def load_safetensors_dir(path: str, variant: str = None
+                         ) -> Dict[str, np.ndarray]:
+    """Load the tensors of ONE weight set from a diffusers component dir
+    (sharded files included).
+
+    A component dir may carry several sets side by side — e.g. both
+    ``diffusion_pytorch_model.safetensors`` and the
+    ``diffusion_pytorch_model.fp16.safetensors`` variant, a common layout
+    on the HF hub. Merging them (with alphabetical overwrite deciding the
+    winner) would silently load a mixture, so exactly one set is chosen:
+    the ``variant`` argument if given ('fp16'/'bf16'/…, or 'main' for the
+    un-suffixed set), else the single set present — and a ValueError when
+    several sets exist and no variant was named, listing the candidates.
+    Falls back to torch ``.bin`` files (load_torch_bin) when the dir has
+    no safetensors at all.
+    """
+    names = os.listdir(path)
+    ext = 'safetensors'
+    files = [f for f in names if f.endswith('.safetensors')]
     if not files:
-        raise FileNotFoundError(f'no safetensors in {path}')
-    state = {}
-    for f in files:
+        ext = 'bin'
+        files = [f for f in names if f.endswith('.bin')]
+        if not files:
+            raise FileNotFoundError(f'no .safetensors or .bin in {path}')
+    groups = _group_weight_files(files, ext)
+
+    if variant is not None:
+        want = None if variant == 'main' else variant
+        matches = {k: v for k, v in groups.items() if k[1] == want}
+        if not matches:
+            have = sorted({k[1] or 'main' for k in groups})
+            raise FileNotFoundError(
+                f'{path}: no {ext} files with variant {variant!r} '
+                f'(available: {have})')
+        groups = matches
+    if len(groups) > 1:
+        cands = sorted(f'{b}.{v}' if v else b for b, v in groups)
+        raise ValueError(
+            f'{path}: ambiguous weight sets {cands} — pass variant= '
+            "(e.g. variant='fp16', or variant='main' for the un-suffixed "
+            'set) to pick one')
+    sel_files = next(iter(groups.values()))
+
+    state: Dict[str, np.ndarray] = {}
+    if ext == 'bin':
+        for f in sel_files:
+            state.update(load_torch_bin(os.path.join(path, f)))
+        return state
+    from safetensors import safe_open
+    for f in sel_files:
         with safe_open(os.path.join(path, f), framework='numpy') as fh:
             for k in fh.keys():
                 state[k] = fh.get_tensor(k)
@@ -215,5 +369,7 @@ def load_component_config(root: str, component: str) -> dict:
         return json.load(f)
 
 
-def load_component_state(root: str, component: str) -> Dict[str, np.ndarray]:
-    return load_safetensors_dir(os.path.join(root, component))
+def load_component_state(root: str, component: str, variant: str = None
+                         ) -> Dict[str, np.ndarray]:
+    return load_safetensors_dir(os.path.join(root, component),
+                                variant=variant)

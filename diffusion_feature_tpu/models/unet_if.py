@@ -179,7 +179,10 @@ class IFTextTimeEmbedding(nn.Module):
 
     @nn.compact
     def __call__(self, text_embeds):
-        x = nn.LayerNorm(dtype=self.dtype, name='norm1')(
+        # torch nn.LayerNorm default eps is 1e-5 (flax defaults to 1e-6) —
+        # the mismatch was the WHOLE 1e-3-tier IF golden noise: it leaks
+        # through temb into every scale-shift resnet (root-caused round 5)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name='norm1')(
             text_embeds.astype(self.dtype))
         d = self.embed_dim
         pos = self.param('pool_positional_embedding',
@@ -201,7 +204,7 @@ class IFTextTimeEmbedding(nn.Module):
                        preferred_element_type=jnp.float32).astype(v.dtype)
         pooled = merge_heads(a)[:, 0]
         out = nn.Dense(self.time_embed_dim, dtype=self.dtype, name='proj')(pooled)
-        return nn.LayerNorm(dtype=self.dtype, name='norm2')(out)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name='norm2')(out)
 
 
 class IFUNet(nn.Module):

@@ -54,10 +54,12 @@ class TestBenchDispatch:
     def test_all_mode_headline_last_with_extras(self, stubbed_bench,
                                                 monkeypatch):
         lines = _run(monkeypatch, 'all')
-        assert len(lines) == 4
+        assert len(lines) == 6
         assert lines[-1]['metric'] == XL_METRIC
-        # every secondary metric rides on the headline line
-        for k in ('maps_img_per_s', 'pixart_img_per_s', 'flux_int8_img_per_s'):
+        # every secondary metric rides on the headline line (all SIX modes
+        # driver-visible since round 5, VERDICT r4 item 1)
+        for k in ('maps_img_per_s', 'pixart_img_per_s', 'flux_int8_img_per_s',
+                  'hunyuan_img_per_s', 'if_img_per_s'):
             assert k in lines[-1]
         # compile-time fields stay on the headline (VERDICT r2 item 7)
         assert 'compile_s' in lines[-1] and 'compile_cached_s' in lines[-1]
@@ -66,6 +68,8 @@ class TestBenchDispatch:
             'sd15_512_attention_maps_extraction_throughput',
             'pixart_sigma_512_feature_extraction_throughput',
             'flux_dev_int8_512_feature_extraction_throughput',
+            'hunyuan_dit_1024_feature_extraction_throughput',
+            'if_i_l_64_feature_extraction_throughput',
         }
 
     def test_both_mode_headline_last(self, stubbed_bench, monkeypatch):

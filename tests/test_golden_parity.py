@@ -594,7 +594,7 @@ class TestIFGolden:
         ref_taps = {}
         ref_out = ref(torch.tensor(sample), 50.0, torch.tensor(text),
                       taps=ref_taps)
-        assert_close(out, ref_out, label='if unet-out', atol=3e-4)
+        assert_close(out, ref_out, label='if unet-out', atol=5e-5)
         flat = flatten_taps(tap_state['taps'])
         for expected in ('down-level0-repeat0-res-increment',
                          'down-level0-downsampler-out',
@@ -605,10 +605,12 @@ class TestIFGolden:
         # IF quirk: no attention taps ever fire (AttnAddedKVProcessor has no
         # gather calls in the overlay)
         assert not any('vit' in k or '-q' in k for k in flat)
-        # 1e-3: the scale-shift GELU stack accumulates slightly more fp32
-        # noise than the SD resnets (8/32k elements past 3e-4); still far
-        # below any transpose/eps/layout bug signature
-        compare_taps(flat, ref_taps, atol=1e-3)
+        # Round-5 root-cause: the old 1e-3 tolerance was hiding a real
+        # LayerNorm-eps mismatch in IFTextTimeEmbedding (flax default 1e-6
+        # vs torch 1e-5) that leaked through temb into every scale-shift
+        # resnet. With epsilon pinned, IF sits at the same tier as the
+        # other U-Net families.
+        compare_taps(flat, ref_taps, atol=5e-5)
 
 
 def build_pixart_pair(taps=None):
