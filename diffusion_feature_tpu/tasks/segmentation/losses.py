@@ -56,13 +56,27 @@ def lovasz_softmax_loss(logits: jnp.ndarray, labels: jnp.ndarray,
     lb = labels.reshape(-1)
     valid = (lb != ignore_index)
     lb_safe = jnp.where(valid, lb, 0)
+    validf = valid.astype(jnp.float32)
+    iota = jnp.arange(lb.shape[0], dtype=jnp.int32)
 
     def per_class(cls):
         fg = ((lb_safe == cls) & valid).astype(jnp.float32)
         present = fg.sum() > 0
-        errors = jnp.abs(fg - probs[:, cls]) * valid.astype(jnp.float32)
-        order = jnp.argsort(-errors)
-        loss_c = jnp.sum(errors[order] * _lovasz_grad(fg[order]))
+        errors = jnp.abs(fg - probs[:, cls]) * validf
+        # The Jaccard weights are piecewise-CONSTANT in the errors (they
+        # depend only on the sorted order of the labels), so the whole sort
+        # pipeline runs outside autodiff and dL/d(errors) is just the
+        # weight vector: backward through a C-way vmapped argsort+gather
+        # would otherwise lower to C scatters of B*H*W lanes each, which
+        # serialize on TPU and dominated the measured train step.
+        neg = -jax.lax.stop_gradient(errors)
+        _, fg_s, idx = jax.lax.sort((neg, fg, iota), num_keys=1)
+        wgt = _lovasz_grad(fg_s)
+        # transport the weights back to pixel order with a permutation-
+        # inverting second sort (sorts beat big scatters on TPU); the
+        # stable tie order matches argsort(-errors) exactly
+        _, w_pix = jax.lax.sort((idx, wgt), num_keys=1)
+        loss_c = jnp.dot(errors, jax.lax.stop_gradient(w_pix))
         return jnp.where(present, loss_c, 0.0), present
 
     losses, present = jax.vmap(per_class)(jnp.arange(c))

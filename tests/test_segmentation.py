@@ -38,6 +38,55 @@ class TestLosses:
         l = float(lovasz_softmax_loss(logits, labels))
         assert np.isfinite(l)
 
+    def test_lovasz_matches_naive_argsort_value_and_grad(self):
+        """The production sort-transport formulation (losses.py:62-80 —
+        stop_gradient'd lax.sort pipeline, dot with the permutation-inverted
+        Jaccard weights) must equal the textbook argsort+gather Lovasz in
+        VALUE and in dL/d(logits), including tied errors and ignored pixels.
+        The weights are piecewise-constant in the errors, so the a.e.
+        gradient of both formulations is the weight vector itself."""
+        def naive(logits, labels, ignore_index=255):
+            b, c, h, w = logits.shape
+            probs = jax.nn.softmax(
+                logits.transpose(0, 2, 3, 1).reshape(-1, c).astype(
+                    jnp.float32), axis=-1)
+            lb = labels.reshape(-1)
+            valid = (lb != ignore_index)
+            lb_safe = jnp.where(valid, lb, 0)
+
+            def per_class(cls):
+                fg = ((lb_safe == cls) & valid).astype(jnp.float32)
+                present = fg.sum() > 0
+                errors = jnp.abs(fg - probs[:, cls]) * valid.astype(
+                    jnp.float32)
+                order = jnp.argsort(-errors)
+                from diffusion_feature_tpu.tasks.segmentation.losses import (
+                    _lovasz_grad)
+                loss_c = jnp.sum(
+                    errors[order]
+                    * jax.lax.stop_gradient(_lovasz_grad(fg[order])))
+                return jnp.where(present, loss_c, 0.0), present
+
+            losses, present = jax.vmap(per_class)(jnp.arange(c))
+            return jnp.sum(losses) / jnp.maximum(jnp.sum(present), 1)
+
+        rng = np.random.RandomState(7)
+        logits = rng.randn(2, 4, 6, 6).astype(np.float32)
+        # force exact error ties: duplicate one spatial row of logits
+        logits[:, :, 3] = logits[:, :, 1]
+        labels = rng.randint(0, 4, (2, 6, 6))
+        labels[:, 3] = labels[:, 1]
+        labels[0, 0, :3] = 255            # ignored pixels
+        labels[:, 5] = 3                  # and one class absent from batch 1
+        logits = jnp.asarray(logits)
+        labels = jnp.asarray(labels)
+
+        v_new, g_new = jax.value_and_grad(lovasz_softmax_loss)(logits, labels)
+        v_old, g_old = jax.value_and_grad(naive)(logits, labels)
+        assert np.isclose(float(v_new), float(v_old), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_old),
+                                   rtol=1e-5, atol=1e-7)
+
     def test_combined_loss_parts(self):
         labels = jnp.asarray(np.random.RandomState(0).randint(0, 3, (1, 4, 4)))
         logits = jnp.asarray(np.random.RandomState(1).randn(1, 3, 4, 4),

@@ -8,8 +8,10 @@ iters"; correspondence/task-corres.py:144-187). Extraction *forward* is
 benched six ways in bench.py; this tool times the full TRAIN step — the
 backward path's first perf evidence — as ONE fused jitted program per task:
 
-  seg    — frozen real-size SDXL extraction (512² train crop, the ade_sdxl
-           tap set: 2x1280 level-0 + 2x640 level-1) → fp32 ResBlock
+  seg    — frozen real-size SDXL extraction at the PRODUCTION img_size
+           1024 (seg_configs/ade_sdxl.json: 512² train crops are upsampled
+           into the extractor; the ade_sdxl tap set: 2x1280 level-0 +
+           2x640 level-1) → fp32 ResBlock
            adapters → UPerHead + FCNHead → CE + Lovasz → backward over the
            head params → AdamW (PolyLR), mirroring train_segmentation.py's
            production composition (its extract program + _head_step compile
@@ -99,7 +101,13 @@ def bench_seg(batch, iters):
         segmentation_loss)
 
     crop = 512
-    extract_step, args = bench.bench_xl(batch, img_size=crop)
+    # Production composition (seg_configs/ade_sdxl.json): the 512² train
+    # crop is upsampled to the extractor's img_size 1024 — extraction runs
+    # at the full 1024² SDXL shape (16k-token level-0 self-attention), the
+    # loss at the 512² label crop. TRAIN_BENCH_EXTRACT_SIZE=512 restores
+    # the cheaper crop-resolution variant for comparison.
+    extract_size = int(os.environ.get('TRAIN_BENCH_EXTRACT_SIZE', '1024'))
+    extract_step, args = bench.bench_xl(batch, img_size=extract_size)
     # ade_sdxl feature wiring (seg_configs/ade_sdxl.json — the bench_xl tap
     # set IS the ade_sdxl layer set)
     feature_layers = (
@@ -162,7 +170,7 @@ def bench_seg(batch, iters):
         img_args=(2,))                       # (unet, vae, img, ...) — img
     steps_per_s = iters / dt
     return {
-        'metric': 'seg_train_step_sdxl512_ade',
+        'metric': f'seg_train_step_sdxl{extract_size}_ade',
         'value': round(steps_per_s, 3),
         'unit': 'steps/s',
         'img_per_s': round(steps_per_s * batch, 2),
