@@ -38,6 +38,20 @@ _DTYPES = {'bfloat16': jnp.bfloat16, 'float16': jnp.float16,
            'float32': jnp.float32}
 
 
+def normal_like(rng, shape, dtype):
+    """Gaussian noise drawn at fp32 and cast to the serving dtype.
+
+    jax.random.normal(key, ..., bfloat16) produces a DIFFERENT pseudo-random
+    sequence than the fp32 draw of the same key, so drawing at the model
+    dtype would make bf16 extraction see a different noise *realization*
+    than fp32 — dtype fidelity would be unmeasurable end-to-end and a seed
+    would not reproduce across serving dtypes.  Drawing fp32-then-cast
+    matches torch semantics (half-precision normal_ fills via float) and
+    keeps the realization identical across fp32/bf16/fp16/int8 paths.
+    """
+    return jax.random.normal(rng, shape, jnp.float32).astype(dtype)
+
+
 class FeatureExtractor:
     """Public API parity with the reference facade: ``encode_prompt``,
     ``offload_prompt_encoder``, ``preprocess_image``, ``extract``,
@@ -938,7 +952,7 @@ class FeatureExtractor:
             r1, r2 = jax.random.split(rng)
             latents = vae.apply({'params': params['vae']}, img, r1)
             dt = latents.dtype
-            noise = jax.random.normal(r2, latents.shape, dt)
+            noise = normal_like(r2, latents.shape, dt)
             latents = kit['A'].astype(dt) * latents + kit['B'].astype(dt) * noise
             out, tap_state = unet.apply(
                 {'params': params['unet']}, latents, kit['T'],
@@ -985,7 +999,7 @@ class FeatureExtractor:
             r1, r2 = jax.random.split(rng)
             latents = vae.apply({'params': params['vae']}, img, r1)
             dt = latents.dtype
-            noise = jax.random.normal(r2, latents.shape, dt)
+            noise = normal_like(r2, latents.shape, dt)
             latents = kit['A'].astype(dt) * latents + kit['B'].astype(dt) * noise
             packed = pack_latents(latents)
             _, tap_state = unet.apply(
@@ -1195,7 +1209,7 @@ class FeatureExtractor:
                 latents = vae.apply({'params': params['vae']}, img, rng_vae,
                                     method=AutoencoderKL.__call__)
             dt = latents.dtype
-            noise = jax.random.normal(rng_noise, latents.shape, dt)
+            noise = normal_like(rng_noise, latents.shape, dt)
             latents = (kit['A'].astype(dt) * latents
                        + kit['B'].astype(dt) * noise)
             lat_in = latents / kit['S'].astype(dt)
@@ -1334,7 +1348,7 @@ class FeatureExtractor:
                 latents = vae.apply({'params': params['vae']}, img, rng_vae,
                                     method=AutoencoderKL.__call__)
             if not use_ddim_inversion:
-                noise = jax.random.normal(rng_noise, latents.shape, latents.dtype)
+                noise = normal_like(rng_noise, latents.shape, latents.dtype)
                 latents = sched.add_noise(state, latents, noise, latent_t)
 
             if denoise_plan is not None:
@@ -1704,7 +1718,7 @@ class FeatureExtractor:
             return jnp.clip(images / 2 + 0.5, 0.0, 1.0)
 
         def init_latents(rng, bsz):
-            latents = jax.random.normal(
+            latents = normal_like(
                 rng, (bsz, lat_ch, lat, lat), self.dtype)
             latents = latents * jnp.asarray(
                 getattr(state0, 'init_noise_sigma', None)
@@ -1735,8 +1749,8 @@ class FeatureExtractor:
                 noise = None
                 if is_ddpm:
                     rng, rn = jax.random.split(rng)
-                    noise = jax.random.normal(rn, latents.shape,
-                                              latents.dtype)
+                    noise = normal_like(rn, latents.shape,
+                                        latents.dtype)
                 latents, extra = sched.scan_step(row, out, latents, noise,
                                                  extra)
                 return (latents, rng, extra), taps
@@ -1772,7 +1786,7 @@ class FeatureExtractor:
                 out = combine(out, latents)
                 if is_ddpm:
                     rng, rn = jax.random.split(rng)
-                    noise = jax.random.normal(rn, latents.shape, latents.dtype)
+                    noise = normal_like(rn, latents.shape, latents.dtype)
                     latents, st = sched.step(st, out, t, latents, noise)
                 else:
                     latents, st = sched.step(st, out, t, latents)
