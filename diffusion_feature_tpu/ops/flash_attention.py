@@ -36,6 +36,17 @@ def _pick_block(seq: int, preferred: int) -> int:
     return b
 
 
+def _clamp_blocks_for_width(d: int, block_q: int, block_k: int):
+    """Shrink blocks for wide heads (d > 256, the VAE's single-head d=512):
+    at d_pad=512 a 1024-row fp32 block is 2 MiB per operand, and with
+    Mosaic's double-buffered q/k/v inputs + the output accumulator + the
+    (bq, bk) probs tile the working set overruns v5e VMEM (16 MiB).
+    512-row blocks keep it ~9 MiB."""
+    if d > 256:
+        return min(block_q, 512), min(block_k, 512)
+    return block_q, block_k
+
+
 def _pad_to(x, multiple, axis):
     size = x.shape[axis]
     rem = size % multiple
@@ -54,14 +65,21 @@ def is_flash_compatible(q_shape, k_shape, min_seq: int = 1024) -> bool:
     7.9 ms vs 18.6 ms XLA (2.3x); seq 1024 b16h10d64 1.89 vs 2.69 ms
     (1.4x); at seq 256 per-program overhead makes the kernel LOSE
     (1.08 vs 0.66 ms b16h20d64), so short sequences stay on the XLA
-    path."""
+    path.
+
+    Wide single-head attention (the SD VAE mid block, d=512) is admitted
+    only at seq >= 8192, where it is a MEMORY necessity, not a perf win:
+    at 1024x1024 images the VAE latent is 16384 tokens and the explicit
+    path's f32 score temp is B*16384^2*4 = 1 GiB/image — batch 16 OOMs a
+    16 GiB v5e (measured: 17.75G requested). At 512x512 (seq 4096,
+    1 GiB total) the XLA explicit path measured 82% MXU and stays."""
     *_, sq, d = q_shape
     sk = k_shape[-2]
     return (
         sq >= min_seq
         and sq % 256 == 0
         and sk % 256 == 0
-        and d <= 256
+        and (d <= 256 or (d <= 512 and sq >= 8192))
     )
 
 
@@ -179,6 +197,7 @@ def _flash_impl(
     """(B, H, Sq, D) x (B, H, Sk, D) -> (B, H, Sq, D), fp32 accumulation."""
     b, h, sq, d = q.shape
     sk = k.shape[2]
+    block_q, block_k = _clamp_blocks_for_width(d, block_q, block_k)
     block_q = _pick_block(sq, block_q)
     block_k = _pick_block(sk, block_k)
     assert sq % block_q == 0 and sk % block_k == 0, (sq, sk, block_q, block_k)
@@ -233,6 +252,7 @@ def flash_attention_with_lse(
     """Flash forward returning (out (B,H,Sq,D), lse (B,H,Sq) fp32)."""
     b, h, sq, d = q.shape
     sk = k.shape[2]
+    block_q, block_k = _clamp_blocks_for_width(d, block_q, block_k)
     block_q = _pick_block(sq, block_q)
     block_k = _pick_block(sk, block_k)
     assert sq % block_q == 0 and sk % block_k == 0, (sq, sk, block_q, block_k)

@@ -28,6 +28,19 @@ class TestFlash:
         assert np.allclose(np.asarray(out_f), np.asarray(out_e),
                            rtol=1e-4, atol=1e-4)
 
+    def test_flash_wide_head_matches_explicit(self):
+        # d=512 single-head: the VAE-mid shape class (block clamp 1024->512
+        # keeps the working set inside VMEM). Direct call — the production
+        # gate additionally requires seq >= 8192, too slow for interpret
+        # mode; the kernel math is block-count-invariant so seq 1024 with
+        # the same 512-row blocks exercises the identical code path.
+        q, k, v = make_qkv(b=1, h=1, sq=1024, sk=1024, d=512)
+        scale = q.shape[-1] ** -0.5
+        out_f = flash_attention(q, k, v, scale=scale)
+        out_e, _ = attention_with_probs_heads(q, k, v, scale=scale)
+        assert np.allclose(np.asarray(out_f), np.asarray(out_e),
+                           rtol=1e-4, atol=1e-4)
+
     def test_lse_matches_logsumexp(self):
         q, k, v = make_qkv()
         scale = q.shape[-1] ** -0.5
@@ -155,6 +168,13 @@ class TestShortAttention:
                                             (16, 10, 1024, 64))
         # tiny test-model sequences stay on XLA
         assert not is_short_attn_compatible((1, 2, 64, 32), (1, 2, 64, 32))
+        # wide single-head (VAE mid, d=512): memory-necessity gate — only
+        # the seq-16384 band (1024x1024 images), where the explicit f32
+        # score temp (1 GiB/img) OOMs; seq 4096 (512x512) stays on XLA
+        # (measured 82% MXU there)
+        assert is_flash_compatible((16, 1, 16384, 512), (16, 1, 16384, 512))
+        assert not is_flash_compatible((16, 1, 4096, 512), (16, 1, 4096, 512))
+        assert not is_flash_compatible((16, 1, 16384, 640), (16, 1, 16384, 640))
 
     def test_grad_through_short(self):
         from diffusion_feature_tpu.ops.flash_attention import (
