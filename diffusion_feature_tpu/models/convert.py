@@ -258,6 +258,14 @@ def load_torch_bin(path: str) -> Dict[str, np.ndarray]:
             # .copy() (not ascontiguousarray, which promotes 0-d to 1-d)
             return arr.copy()
 
+        class _StateDict(dict):
+            # Real nn.Module.state_dict() pickles carry a ``_metadata``
+            # attribute on the OrderedDict (BUILD sets it via
+            # __dict__.update); a plain dict has no instance __dict__, so
+            # mapping OrderedDict -> dict crashes on every genuine
+            # diffusers/transformers .bin. A dict subclass accepts it.
+            pass
+
         class _Restricted(pickle.Unpickler):
             def find_class(self, module, name):
                 if module == 'torch._utils':
@@ -268,7 +276,7 @@ def load_torch_bin(path: str) -> Dict[str, np.ndarray]:
                 if module == 'torch' and name in dtypes:
                     return dtypes[name]
                 if module == 'collections' and name == 'OrderedDict':
-                    return dict
+                    return _StateDict
                 raise pickle.UnpicklingError(
                     f'{path}: refusing to unpickle {module}.{name} — only '
                     'plain tensor state_dicts are supported')
@@ -318,8 +326,11 @@ def load_safetensors_dir(path: str, variant: str = None
     on the HF hub. Merging them (with alphabetical overwrite deciding the
     winner) would silently load a mixture, so exactly one set is chosen:
     the ``variant`` argument if given ('fp16'/'bf16'/…, or 'main' for the
-    un-suffixed set), else the single set present — and a ValueError when
-    several sets exist and no variant was named, listing the candidates.
+    un-suffixed set); else the un-suffixed set when present (what
+    diffusers ``from_pretrained`` loads by default, and the only choice
+    reachable from the CLIs, which expose no variant flag); else the
+    single variant present — and a ValueError only when several VARIANT
+    sets exist with no un-suffixed set to prefer, listing the candidates.
     Falls back to torch ``.bin`` files (load_torch_bin) when the dir has
     no safetensors at all.
     """
@@ -343,11 +354,15 @@ def load_safetensors_dir(path: str, variant: str = None
                 f'(available: {have})')
         groups = matches
     if len(groups) > 1:
-        cands = sorted(f'{b}.{v}' if v else b for b, v in groups)
-        raise ValueError(
-            f'{path}: ambiguous weight sets {cands} — pass variant= '
-            "(e.g. variant='fp16', or variant='main' for the un-suffixed "
-            'set) to pick one')
+        main = {k: v for k, v in groups.items() if k[1] is None}
+        if len(main) == 1:
+            groups = main
+        else:
+            cands = sorted(f'{b}.{v}' if v else b for b, v in groups)
+            raise ValueError(
+                f'{path}: ambiguous weight sets {cands} — pass variant= '
+                "(e.g. variant='fp16', or variant='main' for the "
+                'un-suffixed set) to pick one')
     sel_files = next(iter(groups.values()))
 
     state: Dict[str, np.ndarray] = {}

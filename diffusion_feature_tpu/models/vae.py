@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.attention import attention_fused
+from ..utils import normal_like
 
 
 @dataclasses.dataclass(frozen=True)
@@ -230,10 +231,7 @@ class AutoencoderKL(nn.Module):
         if sample and rng is not None:
             logvar = jnp.clip(logvar, -30.0, 20.0)
             std = jnp.exp(0.5 * logvar)
-            # fp32 draw cast to the serving dtype: the realization is then
-            # identical across fp32/bf16 paths (facade.normal_like rationale)
-            z = mean + std * jax.random.normal(
-                rng, mean.shape, jnp.float32).astype(mean.dtype)
+            z = mean + std * normal_like(rng, mean.shape, mean.dtype)
         else:
             z = mean
         z = (z - self.cfg.shift_factor) * self.cfg.scaling_factor

@@ -160,8 +160,59 @@ def _flash_diff_fwd(q, k, v, scale, block_q, block_k):
                         block_k=block_k), (q, k, v))
 
 
+#: Above this sq*sk the einsum backward's fp32 score temp (b*h*sq*sk*4,
+#: twice: probs forward + recompute in the VJP) stops fitting HBM at the
+#: batches the forward runs — the same shapes is_flash_compatible admits
+#: as a memory necessity (seq-16384 wide-head = 1 GiB/img per temp).
+_CHUNKED_BWD_ELEMS = 8192 * 8192
+
+
+def _chunked_attention_bwd(q, k, v, scale, g, chunk=512):
+    """O(sk*chunk)-memory attention backward: lax.scan over q-row chunks,
+    recomputing scores per chunk with the flash-backward identity
+    rowsum(dP*P) == rowsum(g*O) (so O is re-derived per chunk, nothing
+    S²-sized is ever live). Engaged only above _CHUNKED_BWD_ELEMS — the
+    shapes the forward admits to flash because the one-shot einsum path
+    OOMs; below it the XLA-fused jax.vjp twin stays (faster, and the
+    path every existing grad golden pins)."""
+    in_dtype = q.dtype
+    sq = q.shape[2]
+    qp = _pad_to(q, chunk, 2)
+    gp = _pad_to(g, chunk, 2).astype(jnp.float32)
+    n = qp.shape[2] // chunk
+    # (n, b, h, chunk, d) scan order; padded q rows carry g == 0 so their
+    # dS is exactly zero — they contribute nothing to dk/dv and their dq
+    # rows are sliced off below.
+    q_ch = jnp.moveaxis(qp.reshape(*qp.shape[:2], n, chunk, -1), 2, 0)
+    g_ch = jnp.moveaxis(gp.reshape(*gp.shape[:2], n, chunk, -1), 2, 0)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+
+    def step(carry, qg):
+        dk, dv = carry
+        qi, gi = qg
+        s = jnp.einsum('bhcd,bhkd->bhck', qi.astype(jnp.float32), kf) * scale
+        p = jax.nn.softmax(s, axis=-1)
+        oi = jnp.einsum('bhck,bhkd->bhcd', p, vf)
+        d_row = jnp.sum(gi * oi, axis=-1, keepdims=True)
+        dv = dv + jnp.einsum('bhck,bhcd->bhkd', p, gi)
+        dp = jnp.einsum('bhcd,bhkd->bhck', gi, vf)
+        ds = p * (dp - d_row) * scale
+        dqi = jnp.einsum('bhck,bhkd->bhcd', ds, kf)
+        dk = dk + jnp.einsum('bhck,bhcd->bhkd', ds, qi.astype(jnp.float32))
+        return (dk, dv), dqi
+
+    zeros = jnp.zeros(k.shape, jnp.float32)
+    (dk, dv), dq_ch = jax.lax.scan(step, (zeros, zeros), (q_ch, g_ch))
+    dq = jnp.moveaxis(dq_ch, 0, 2).reshape(
+        *qp.shape[:2], n * chunk, -1)[:, :, :sq]
+    return dq.astype(in_dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
 def _flash_diff_bwd(scale, block_q, block_k, res, g):
     q, k, v = res
+    if q.shape[2] * k.shape[2] >= _CHUNKED_BWD_ELEMS:
+        return _chunked_attention_bwd(q, k, v, scale, g)
     _, vjp = jax.vjp(lambda a, b, c: _reference_attention(a, b, c, scale),
                      q, k, v)
     return vjp(g)

@@ -168,6 +168,25 @@ class TestTorchBinReader:
         with pytest.raises(ValueError, match='not a torch zipfile'):
             load_torch_bin(str(p))
 
+    def test_real_state_dict_with_metadata(self, tmp_path):
+        """nn.Module.state_dict() pickles the OrderedDict WITH its
+        ``_metadata`` attribute (BUILD state) — what every genuine
+        diffusers/transformers .bin contains. The restricted unpickler's
+        dict stand-in must tolerate that attribute (a plain dict has no
+        instance __dict__ and crashes on BUILD)."""
+        import torch
+        from diffusion_feature_tpu.models.convert import load_torch_bin
+
+        m = torch.nn.Sequential(torch.nn.Linear(4, 3), torch.nn.Linear(3, 2))
+        sd = m.state_dict()
+        assert hasattr(sd, '_metadata')  # the fixture really carries it
+        p = tmp_path / 'model.bin'
+        torch.save(sd, str(p))
+        out = load_torch_bin(str(p))
+        assert set(out) == set(sd)
+        for k, t in sd.items():
+            assert np.allclose(out[k], t.numpy())
+
     def test_sd_checkpoint_as_bin_matches_safetensors(
             self, checkpoint_dir, tmp_path):
         """Convert the synth SD checkpoint's safetensors to .bin files and
@@ -223,12 +242,26 @@ class TestVariantSelection:
         d.mkdir(parents=True, exist_ok=True)
         save_file(state, str(d / name))
 
-    def test_ambiguous_dir_raises(self, tmp_path):
+    def test_main_set_preferred_without_flag(self, tmp_path):
+        # main + .fp16 side by side (the common HF layout): with no variant
+        # named, the un-suffixed set loads — what diffusers from_pretrained
+        # does by default, and the only choice reachable from the CLIs and
+        # the controlnet/depth loaders (which expose no variant flag).
         from diffusion_feature_tpu.models.convert import load_safetensors_dir
         a = {'w': np.ones((2, 2), np.float32)}
         b = {'w': np.zeros((2, 2), np.float16)}
         self._write(tmp_path, 'diffusion_pytorch_model.safetensors', a)
         self._write(tmp_path, 'diffusion_pytorch_model.fp16.safetensors', b)
+        got = load_safetensors_dir(str(tmp_path))
+        assert got['w'].dtype == np.float32 and got['w'][0, 0] == 1.0
+
+    def test_ambiguous_variants_raise(self, tmp_path):
+        # several VARIANT sets and no un-suffixed set to prefer: ambiguous.
+        from diffusion_feature_tpu.models.convert import load_safetensors_dir
+        self._write(tmp_path, 'diffusion_pytorch_model.fp16.safetensors',
+                    {'w': np.zeros((2,), np.float16)})
+        self._write(tmp_path, 'diffusion_pytorch_model.bf16.safetensors',
+                    {'w': np.zeros((2,), np.float32)})
         with pytest.raises(ValueError, match='ambiguous weight sets'):
             load_safetensors_dir(str(tmp_path))
 
@@ -294,8 +327,9 @@ class TestVariantSelection:
 
         kw = dict(layer={'up-level1-repeat0-res-out': True},
                   version='test-sd', img_size=64, dtype='float32')
-        with pytest.raises(ValueError, match='ambiguous weight sets'):
-            FeatureExtractor(weights=str(root), **kw)
+        # no variant named: the un-suffixed (main) set loads — the only
+        # choice reachable from the CLIs, which expose no variant flag
+        FeatureExtractor(weights=str(root), **kw)
         fe = FeatureExtractor(weights=str(root), weights_variant='fp16', **kw)
         img = [Image.fromarray((np.random.RandomState(0).rand(64, 64, 3)
                                 * 255).astype('uint8'))]

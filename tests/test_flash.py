@@ -100,6 +100,34 @@ class TestDifferentiability:
             assert np.allclose(np.asarray(g), np.asarray(r),
                                rtol=1e-3, atol=1e-3)
 
+    def test_chunked_bwd_matches_vjp(self):
+        # The O(sk*chunk)-memory backward engaged above _CHUNKED_BWD_ELEMS
+        # (the wide-head seq-16384 shapes where the one-shot einsum VJP's
+        # S^2 score temp OOMs) must produce the same gradients as that
+        # VJP. Exercised at small size with a small chunk so the scan
+        # actually iterates (3 chunks) and the q-row padding path (sq 192
+        # -> pad 256) is covered.
+        from diffusion_feature_tpu.ops.flash_attention import (
+            _chunked_attention_bwd, _reference_attention)
+        q, k, v = make_qkv(b=2, h=3, sq=192, sk=256, d=32, seed=7)
+        scale = q.shape[-1] ** -0.5
+        g = jax.random.normal(jax.random.PRNGKey(9), q.shape, q.dtype)
+        _, vjp = jax.vjp(
+            lambda a, b, c: _reference_attention(a, b, c, scale), q, k, v)
+        ref = vjp(g)
+        got = _chunked_attention_bwd(q, k, v, scale, g, chunk=64)
+        for a, b in zip(got, ref):
+            assert a.shape == b.shape and a.dtype == b.dtype
+            assert np.allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-4, atol=1e-5)
+
+    def test_chunked_bwd_threshold(self):
+        # Dispatch: the huge-seq gate engages exactly at _CHUNKED_BWD_ELEMS
+        # and existing (tested, benched) shapes stay on the einsum VJP.
+        from diffusion_feature_tpu.ops import flash_attention as fa
+        assert 16384 * 16384 >= fa._CHUNKED_BWD_ELEMS      # VAE mid @1024^2
+        assert 4096 * 4096 < fa._CHUNKED_BWD_ELEMS         # xl level-0 @512^2
+
     def test_grad_through_headmean(self):
         q, k, v = make_qkv(sq=512, sk=512)
 
