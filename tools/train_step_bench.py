@@ -263,9 +263,78 @@ def bench_corres(iters):
     }
 
 
+def bench_unet(batch, iters, img_size=1024):
+    """train_unet=True fine-tuning (reference diffusion_feature.py:87-89 —
+    the U-Net itself is exposed to the optimizer, feature/output loss) at
+    REAL SD-1.5 size and the 1024² shape where the level-0 self-attention
+    runs at 16384 tokens: the forward rides the Pallas flash kernel and
+    the backward the chunked O(sk·chunk) VJP (the one-shot einsum backward
+    would materialize b·8·16384²·4 = 8 GiB/img of fp32 scores). bf16
+    params + fp32 AdamW moments; VAE encode frozen under stop_gradient."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from diffusion_feature_tpu.models.unet2d import (
+        UNet2DConditionModel, SD15_UNET)
+    from diffusion_feature_tpu.models.vae import AutoencoderKL, SD_VAE
+    from diffusion_feature_tpu.taps import TapSpec, flatten_taps
+
+    dtype = jnp.bfloat16
+    taps = TapSpec.from_config({'up-level1-repeat0-res-out': True})
+    unet = UNet2DConditionModel(cfg=SD15_UNET, dtype=dtype, taps=taps)
+    vae = AutoencoderKL(cfg=SD_VAE, dtype=dtype)
+    lat = img_size // 8
+    rng = jax.random.PRNGKey(0)
+    ctx = jnp.zeros((batch, 77, 768), dtype)
+    unet_params = bench.to_bf16(UNet2DConditionModel(
+        cfg=SD15_UNET, dtype=dtype).init(
+            rng, jnp.zeros((1, 4, lat, lat), dtype), 50,
+            jnp.zeros((1, 77, 768), dtype))['params'])
+    vae_params = bench.to_bf16(vae.init(
+        rng, jnp.zeros((1, 3, img_size, img_size), dtype),
+        method=AutoencoderKL.full_pass)['params'])
+    img = jax.random.uniform(rng, (batch, 3, img_size, img_size), dtype)
+
+    opt = optax.adamw(1e-5, weight_decay=0.01)
+    opt_state = opt.init(unet_params)
+
+    def train_step(state, a, rs):
+        unet_params, opt_state = state
+        img, ctx = a
+        latents = jax.lax.stop_gradient(
+            vae.apply({'params': vae_params}, img, rs))
+
+        def lf(p):
+            out, st = unet.apply({'params': p}, latents, 50.0, ctx,
+                                 mutable=['taps'])
+            flat = flatten_taps(st['taps'])
+            loss = jnp.mean(out.astype(jnp.float32) ** 2)
+            for v in flat.values():
+                loss = loss + jnp.mean(v.astype(jnp.float32) ** 2)
+            return loss
+        loss, grads = jax.value_and_grad(lf)(unet_params)
+        updates, opt_state = opt.update(grads, opt_state, unet_params)
+        unet_params = optax.apply_updates(unet_params, updates)
+        return (unet_params, opt_state), loss
+
+    dt, compile_s = _run_loop(train_step, (unet_params, opt_state),
+                              (img, ctx), iters, img_args=(0,))
+    steps_per_s = iters / dt
+    return {
+        'metric': f'train_unet_sd15_{img_size}',
+        'value': round(steps_per_s, 3),
+        'unit': 'steps/s',
+        'img_per_s': round(steps_per_s * batch, 2),
+        'batch': batch,
+        'compile_s': round(compile_s, 1),
+        'iters_80k_hours': round(80_000 / steps_per_s / 3600, 2),
+        'peak_hbm_gib': _mem_stats(),
+    }
+
+
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else 'both'
-    assert mode in ('seg', 'corres', 'both'), mode
+    assert mode in ('seg', 'corres', 'both', 'unet'), mode
     import jax
     on_tpu = jax.devices()[0].platform == 'tpu'
     batch = int(os.environ.get('TRAIN_BENCH_BATCH', '2'))
@@ -274,6 +343,9 @@ def main():
         print(json.dumps(bench_seg(batch, iters)))
     if mode in ('corres', 'both'):
         print(json.dumps(bench_corres(iters)))
+    if mode == 'unet':
+        print(json.dumps(bench_unet(
+            int(os.environ.get('TRAIN_BENCH_BATCH', '1')), iters)))
 
 
 if __name__ == '__main__':
