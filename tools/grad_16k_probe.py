@@ -71,16 +71,12 @@ def timed_grad(b, h, s, d, iters=3):
 
 def main():
     shapes = [
+        # d40 (SD-1.5 level-0 heads) pads to the same 64-lane MXU tile,
+        # so one d64 probe covers both bands.
         ('sd-level0@1024² (b2,h8,s16384,d64)', (2, 8, 16384, 64)),
-        ('sd-level0@1024² (b2,h8,s16384,d40) pad-to-64 band',
-         (2, 8, 16384, 64)),  # d40 pads to 64 on MXU; probe the padded tile
         ('vae-mid@1024² wide-head (b2,h1,s16384,d512)', (2, 1, 16384, 512)),
     ]
-    seen = set()
     for name, (b, h, s, d) in shapes:
-        if (b, h, s, d) in seen:
-            continue
-        seen.add((b, h, s, d))
         sec, comp = timed_grad(b, h, s, d)
         # einsum-backward score temp this shape would have materialized:
         gib = b * h * s * s * 4 / 2 ** 30

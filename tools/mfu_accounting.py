@@ -45,12 +45,12 @@ V5E_MEASURED_TFLOPS = 113.0  # matmul/conv probe ceiling on this chip
 V5E_HBM_GBS = 819.0          # nameplate HBM bandwidth
 
 MODES = {
-    'xl': (lambda b: bench.bench_xl(b), 2, 'BENCH_BATCH'),
-    'maps': (lambda b: bench.bench_maps(b), 2, 'BENCH_BATCH'),
-    'pixart': (lambda b: bench.bench_pixart(b), 2, 'BENCH_BATCH'),
-    'flux': (lambda b: bench.bench_flux(b), 2, 'BENCH_BATCH_FLUX'),
-    'hunyuan': (lambda b: bench.bench_hunyuan(b), 2, 'BENCH_BATCH_HUNYUAN'),
-    'if': (lambda b: bench.bench_if(b), 1, 'BENCH_BATCH'),
+    'xl': (bench.bench_xl, 2, 'BENCH_BATCH'),
+    'maps': (bench.bench_maps, 2, 'BENCH_BATCH'),
+    'pixart': (bench.bench_pixart, 2, 'BENCH_BATCH'),
+    'flux': (bench.bench_flux, 2, 'BENCH_BATCH_FLUX'),
+    'hunyuan': (bench.bench_hunyuan, 2, 'BENCH_BATCH_HUNYUAN'),
+    'if': (bench.bench_if, 1, 'BENCH_BATCH'),
 }
 
 
