@@ -326,7 +326,10 @@ def load_safetensors_dir(path: str, variant: str = None
     on the HF hub. Merging them (with alphabetical overwrite deciding the
     winner) would silently load a mixture, so exactly one set is chosen:
     the ``variant`` argument if given ('fp16'/'bf16'/…, or 'main' for the
-    un-suffixed set); else the un-suffixed set when present (what
+    un-suffixed set), falling back per-component to the un-suffixed set
+    when that variant is absent (diffusers ``from_pretrained(variant=…)``
+    semantics — checkpoints often ship a variant for only some
+    components); else the un-suffixed set when present (what
     diffusers ``from_pretrained`` loads by default, and the only choice
     reachable from the CLIs, which expose no variant flag); else the
     single variant present — and a ValueError only when several VARIANT
@@ -348,9 +351,15 @@ def load_safetensors_dir(path: str, variant: str = None
         want = None if variant == 'main' else variant
         matches = {k: v for k, v in groups.items() if k[1] == want}
         if not matches:
+            # per-component fallback to the un-suffixed set, matching
+            # diffusers from_pretrained(variant=...): real checkpoints
+            # often ship a variant for only some components
+            matches = {k: v for k, v in groups.items() if k[1] is None}
+        if not matches:
             have = sorted({k[1] or 'main' for k in groups})
             raise FileNotFoundError(
                 f'{path}: no {ext} files with variant {variant!r} '
+                f'and no un-suffixed set to fall back to '
                 f'(available: {have})')
         groups = matches
     if len(groups) > 1:

@@ -67,6 +67,11 @@ def build_parser():
     # tpu-specific
     parser.add_argument('--weights', type=str, default=None,
                         help='local diffusers checkpoint dir')
+    parser.add_argument('--weights_variant', type=str, default=None,
+                        help="weight-set variant to load from a component "
+                             "dir carrying several (e.g. 'fp16', or 'main' "
+                             'for the un-suffixed set); default: the main '
+                             'set, else the single variant present')
     parser.add_argument('--dp', type=int, default=1,
                         help='shard the batch over a dp device mesh')
     parser.add_argument('--tp', type=int, default=1,
@@ -143,6 +148,7 @@ def main(argv=None):
         attention=args.attention,
         img_size=args.img_size,
         weights=args.weights,
+        weights_variant=args.weights_variant,
         transformer_8bit=args.transformer_8bit,
         validate_layers=not args.no_validate_layers,
     )

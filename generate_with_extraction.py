@@ -36,12 +36,14 @@ def main(argv=None):
                         default=[1, 10, 20, 30, 40])
     parser.add_argument('--dtype', type=str, default='bfloat16')
     parser.add_argument('--weights', type=str, default=None)
+    parser.add_argument('--weights_variant', type=str, default=None)
     parser.add_argument('--output', type=str, default='generated.png')
     args = parser.parse_args(argv)
 
     df = FeatureExtractor(resolve_layer_config(args.layer), args.version,
                           img_size=args.img_size, dtype=args.dtype,
-                          weights=args.weights)
+                          weights=args.weights,
+                          weights_variant=args.weights_variant)
     # which U-Net-call encounters to keep (reference :33)
     df.set_background_extraction(args.store_steps)
 

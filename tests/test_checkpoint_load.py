@@ -275,6 +275,15 @@ class TestVariantSelection:
         assert got16['w'].dtype == np.float16 and got16['w'][0] == 16.0
         gotm = load_safetensors_dir(str(tmp_path), variant='main')
         assert gotm['w'].dtype == np.float32 and gotm['w'][0] == 32.0
+        # absent variant falls back per-component to the main set
+        # (diffusers from_pretrained(variant=...) semantics)
+        gotfb = load_safetensors_dir(str(tmp_path), variant='bf16')
+        assert gotfb['w'].dtype == np.float32
+
+    def test_absent_variant_no_main_raises(self, tmp_path):
+        from diffusion_feature_tpu.models.convert import load_safetensors_dir
+        self._write(tmp_path, 'diffusion_pytorch_model.fp16.safetensors',
+                    {'w': np.ones((2,), np.float16)})
         with pytest.raises(FileNotFoundError, match='variant'):
             load_safetensors_dir(str(tmp_path), variant='bf16')
 
